@@ -1,0 +1,55 @@
+"""Conv primitive parity tests vs manual numpy (SURVEY.md §4.2)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from wct_tpu.ops import convs
+
+
+def test_pad_reflect_matches_numpy(rng):
+    x = rng.standard_normal((2, 5, 6, 3)).astype(np.float32)
+    out = np.asarray(convs.pad_reflect(jnp.asarray(x), 2))
+    ref = np.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)), mode="reflect")
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_conv2d_reflect_manual_5x5(rng):
+    # Hand conv on a tiny input: reflect-pad then VALID 3×3.
+    x = rng.standard_normal((1, 5, 5, 2)).astype(np.float32)
+    w = rng.standard_normal((3, 3, 2, 4)).astype(np.float32)
+    b = rng.standard_normal((4,)).astype(np.float32)
+    out = np.asarray(convs.conv2d_reflect(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b)))
+    assert out.shape == (1, 5, 5, 4)
+
+    xp = np.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    ref = np.zeros((1, 5, 5, 4), np.float32)
+    for i in range(5):
+        for j in range(5):
+            patch = xp[0, i : i + 3, j : j + 3, :]
+            ref[0, i, j] = np.tensordot(patch, w, axes=([0, 1, 2], [0, 1, 2])) + b
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_conv_1x1_no_pad(rng):
+    x = rng.standard_normal((1, 4, 4, 3)).astype(np.float32)
+    w = rng.standard_normal((1, 1, 3, 5)).astype(np.float32)
+    b = np.zeros((5,), np.float32)
+    out = np.asarray(convs.conv2d_reflect(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b)))
+    ref = x @ w[0, 0]
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_maxpool2(rng):
+    x = rng.standard_normal((1, 4, 6, 2)).astype(np.float32)
+    out = np.asarray(convs.maxpool2(jnp.asarray(x)))
+    assert out.shape == (1, 2, 3, 2)
+    ref = x.reshape(1, 2, 2, 3, 2, 2).max(axis=(2, 4))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_upsample_nearest2(rng):
+    x = rng.standard_normal((1, 2, 3, 2)).astype(np.float32)
+    out = np.asarray(convs.upsample_nearest2(jnp.asarray(x)))
+    assert out.shape == (1, 4, 6, 2)
+    ref = np.repeat(np.repeat(x, 2, axis=1), 2, axis=2)
+    np.testing.assert_array_equal(out, ref)

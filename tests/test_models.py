@@ -1,0 +1,176 @@
+"""Model-layer tests: encoder/decoder shapes, cascade plumbing (SURVEY.md §4.2).
+
+Uses a tiny deterministic random "VGG" (fixed seed) — no real weights
+needed to validate the plumbing: shapes per relu target, decoder
+round-trip shapes, full cascade execution, modes, style caching,
+interpolation, multi-pass.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wct_tpu.models import cascade, decoder, vgg
+
+KEY = jax.random.PRNGKey(42)
+SIZE = 32  # divisible by 16 → all 5 levels work
+
+
+@pytest.fixture(scope="module")
+def params():
+    return cascade.init_params(KEY)
+
+
+@pytest.fixture(scope="module")
+def imgs(params):
+    rng = np.random.default_rng(7)
+    content = rng.random((1, SIZE, SIZE, 3), np.float32)
+    style = rng.random((SIZE, SIZE, 3), np.float32)
+    return content, style
+
+
+class TestEncoder:
+    @pytest.mark.parametrize(
+        "target,ch,scale",
+        [
+            ("relu1_1", 64, 1),
+            ("relu2_1", 128, 2),
+            ("relu3_1", 256, 4),
+            ("relu4_1", 512, 8),
+            ("relu5_1", 512, 16),
+        ],
+    )
+    def test_shapes(self, params, imgs, target, ch, scale):
+        content, _ = imgs
+        f = vgg.encode(params["encoder"], jnp.asarray(content), target)
+        assert f.shape == (1, SIZE // scale, SIZE // scale, ch)
+        assert np.all(np.asarray(f) >= 0)  # post-ReLU
+
+    def test_encode_multi_matches_single(self, params, imgs):
+        content, _ = imgs
+        multi = vgg.encode_multi(
+            params["encoder"], jnp.asarray(content), ("relu1_1", "relu3_1", "relu5_1")
+        )
+        for t in ("relu1_1", "relu3_1", "relu5_1"):
+            single = vgg.encode(params["encoder"], jnp.asarray(content), t)
+            np.testing.assert_array_equal(np.asarray(multi[t]), np.asarray(single))
+
+    def test_metadata_tables(self):
+        assert vgg.TARGET_CHANNELS["relu5_1"] == 512
+        assert vgg.TARGET_SCALE["relu4_1"] == 8
+
+
+class TestDecoder:
+    @pytest.mark.parametrize("target", vgg.RELU_TARGETS)
+    def test_roundtrip_shapes(self, params, imgs, target):
+        content, _ = imgs
+        f = vgg.encode(params["encoder"], jnp.asarray(content), target)
+        out = decoder.decode(params["decoders"][target], f, target)
+        assert out.shape == (1, SIZE, SIZE, 3)
+
+    def test_mirror_structure_relu5(self):
+        layers = decoder.decoder_layers("relu5_1")
+        kinds = [l[0] for l in layers]
+        assert kinds.count("upsample") == 4
+        assert kinds.count("conv") == 13  # 1+4+4+2+2 mirrored convs
+        # Final conv emits 3 channels.
+        assert layers[-1][3] == 3
+
+    def test_mirror_structure_relu1(self):
+        layers = decoder.decoder_layers("relu1_1")
+        assert [l[0] for l in layers] == ["conv"]
+        assert layers[0][2:] == (64, 3, 3)
+
+
+class TestCascade:
+    def test_full_cascade_shape_and_range(self, params, imgs):
+        content, style = imgs
+        out = cascade.stylize_pair(
+            params, jnp.asarray(content[0]), jnp.asarray(style), alpha=0.6
+        )
+        assert out.shape == (SIZE, SIZE, 3)
+        o = np.asarray(out)
+        assert np.all(o >= 0) and np.all(o <= 1) and np.all(np.isfinite(o))
+
+    def test_single_level_config(self, params, imgs):
+        content, style = imgs
+        cfg = cascade.CascadeConfig(relu_targets=("relu3_1",))
+        out = cascade.stylize_pair(
+            params, jnp.asarray(content[0]), jnp.asarray(style), 1.0, cfg
+        )
+        assert out.shape == (SIZE, SIZE, 3)
+
+    def test_adain_mode(self, params, imgs):
+        content, style = imgs
+        cfg = cascade.CascadeConfig(
+            relu_targets=("relu3_1", "relu2_1"), transform="adain"
+        )
+        out = cascade.stylize_pair(
+            params, jnp.asarray(content[0]), jnp.asarray(style), 0.8, cfg
+        )
+        assert out.shape == (SIZE, SIZE, 3)
+
+    def test_swap5_mode(self, params):
+        # relu5_1 features are H/16 — need ≥48px for 3×3 patches.
+        rng = np.random.default_rng(5)
+        content = rng.random((64, 64, 3), np.float32)
+        style = rng.random((64, 64, 3), np.float32)
+        cfg = cascade.CascadeConfig(relu_targets=("relu5_1",), swap5=True)
+        out = cascade.stylize_pair(
+            params, jnp.asarray(content), jnp.asarray(style), 1.0, cfg
+        )
+        assert out.shape == (64, 64, 3)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_multi_pass(self, params, imgs):
+        content, style = imgs
+        cfg = cascade.CascadeConfig(relu_targets=("relu2_1",), passes=2)
+        out = cascade.stylize_pair(
+            params, jnp.asarray(content[0]), jnp.asarray(style), 1.0, cfg
+        )
+        assert out.shape == (SIZE, SIZE, 3)
+
+    def test_style_cache_reuse_bitwise(self, params, imgs):
+        content, style = imgs
+        cfg = cascade.CascadeConfig(relu_targets=("relu3_1", "relu1_1"))
+        cache = cascade.precompute_style(params["encoder"], jnp.asarray(style), cfg)
+        a = cascade.stylize(params, jnp.asarray(content), cache, 0.5, cfg)
+        b = cascade.stylize(params, jnp.asarray(content), cache, 0.5, cfg)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_batch_stability(self, params, imgs):
+        content, style = imgs
+        cfg = cascade.CascadeConfig(relu_targets=("relu2_1", "relu1_1"))
+        cache = cascade.precompute_style(params["encoder"], jnp.asarray(style), cfg)
+        batch = jnp.concatenate([jnp.asarray(content)] * 3)
+        full = cascade.stylize(params, batch, cache, 1.0, cfg)
+        one = cascade.stylize(params, jnp.asarray(content), cache, 1.0, cfg)
+        np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(one[0]))
+
+    def test_interpolation(self, params, imgs):
+        content, style = imgs
+        rng = np.random.default_rng(3)
+        style2 = rng.random((SIZE, SIZE, 3), np.float32)
+        cfg = cascade.CascadeConfig(relu_targets=("relu3_1",))
+        c1 = cascade.precompute_style(params["encoder"], jnp.asarray(style), cfg)
+        c2 = cascade.precompute_style(params["encoder"], jnp.asarray(style2), cfg)
+        blended = cascade.interpolate_style_caches([c1, c2], jnp.asarray([0.5, 0.5]), cfg)
+        out = cascade.stylize(params, jnp.asarray(content), blended, 1.0, cfg)
+        assert np.all(np.isfinite(np.asarray(out)))
+        # weights (1,0) == style 1 alone
+        w10 = cascade.interpolate_style_caches([c1, c2], jnp.asarray([1.0, 0.0]), cfg)
+        out10 = cascade.stylize(params, jnp.asarray(content), w10, 1.0, cfg)
+        out1 = cascade.stylize(params, jnp.asarray(content), c1, 1.0, cfg)
+        np.testing.assert_allclose(np.asarray(out10), np.asarray(out1), atol=1e-5)
+
+    def test_alpha_is_traced_no_recompile(self, params, imgs):
+        content, style = imgs
+        cfg = cascade.CascadeConfig(relu_targets=("relu1_1",))
+        cache = cascade.precompute_style(params["encoder"], jnp.asarray(style), cfg)
+        with jax.checking_leaks():
+            n0 = cascade.stylize._cache_size()
+            cascade.stylize(params, jnp.asarray(content), cache, 0.3, cfg)
+            cascade.stylize(params, jnp.asarray(content), cache, 0.9, cfg)
+            # Only float→array promotion differs; both hit one trace.
+            assert cascade.stylize._cache_size() - n0 <= 1

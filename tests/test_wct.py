@@ -1,0 +1,157 @@
+"""Numerics unit tests for the WCT kernel library (SURVEY.md §4.1).
+
+CPU-runnable, weight-free property tests: whitening produces identity
+covariance, coloring reproduces the style covariance, alpha=0 is the
+identity, the jax path matches a plain-numpy oracle of the reference
+math (SURVEY.md §A.2), rank truncation survives rank-deficient inputs,
+and outputs are bitwise-stable across batch sizes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wct_tpu.ops import wct as wct_ops
+
+
+def _feat(rng, h=13, w=11, c=16, scale=1.0, shift=0.0):
+    return (rng.standard_normal((h, w, c)) * scale + shift).astype(np.float32)
+
+
+def _cov(f):
+    flat = f.reshape(-1, f.shape[-1]).astype(np.float64)
+    centered = flat - flat.mean(0)
+    return centered.T @ centered / (flat.shape[0] - 1)
+
+
+def numpy_wct_oracle(fc, fs, alpha, eps=1e-8, trunc=1e-5):
+    """Reference wct_tf math (ops.py:~65–140 / SURVEY.md §A.2) in numpy."""
+    h, w, c = fc.shape
+    fc_flat = fc.reshape(-1, c).astype(np.float64)
+    fs_flat = fs.reshape(-1, c).astype(np.float64)
+
+    def sym_pow(f_flat, power):
+        mu = f_flat.mean(0)
+        centered = f_flat - mu
+        cov = centered.T @ centered / (f_flat.shape[0] - 1) + eps * np.eye(c)
+        s, u = np.linalg.eigh(cov)
+        s_pow = np.where(s > trunc, np.sign(s) * np.abs(s) ** power, 0.0)
+        return (u * s_pow) @ u.T, mu
+
+    w_c, mu_c = sym_pow(fc_flat, -0.5)
+    k_s, mu_s = sym_pow(fs_flat, +0.5)
+    colored = (fc_flat - mu_c) @ w_c @ k_s + mu_s
+    out = alpha * colored + (1 - alpha) * fc_flat
+    return out.reshape(h, w, c)
+
+
+class TestWhitening:
+    def test_identity_covariance(self, rng):
+        f = _feat(rng, c=8, scale=3.0, shift=2.0)
+        kern, mu = wct_ops.whitening_kernel(jnp.asarray(f))
+        flat = f.reshape(-1, 8)
+        white = (flat - np.asarray(mu)) @ np.asarray(kern)
+        cov = _cov(white.reshape(f.shape[:2] + (8,)))
+        np.testing.assert_allclose(cov, np.eye(8), atol=5e-3)
+
+    def test_rank_deficient_input(self, rng):
+        # Two constant channels → rank-deficient Gram; truncation must
+        # zero those modes, not blow up (reference's 1e-5 threshold).
+        f = _feat(rng, c=8)
+        f[..., 3] = 1.7
+        f[..., 6] = -0.4
+        kern, mu = wct_ops.whitening_kernel(jnp.asarray(f))
+        assert np.all(np.isfinite(np.asarray(kern)))
+        white = (f.reshape(-1, 8) - np.asarray(mu)) @ np.asarray(kern)
+        cov = _cov(white.reshape(f.shape[:2] + (8,)))
+        # Non-degenerate modes whiten to unit variance.
+        diag = np.sort(np.diag(cov))
+        np.testing.assert_allclose(diag[2:], 1.0, atol=5e-3)
+        np.testing.assert_allclose(diag[:2], 0.0, atol=5e-3)
+
+
+class TestWCT:
+    def test_colored_matches_style_covariance(self, rng):
+        fc = _feat(rng, c=8)
+        fs = _feat(rng, h=9, w=7, c=8, scale=2.5, shift=-1.0)
+        out = np.asarray(wct_ops.wct(jnp.asarray(fc), jnp.asarray(fs), 1.0))
+        np.testing.assert_allclose(_cov(out), _cov(fs), atol=5e-2, rtol=5e-2)
+        np.testing.assert_allclose(
+            out.reshape(-1, 8).mean(0),
+            fs.reshape(-1, 8).mean(0),
+            atol=1e-2,
+        )
+
+    def test_alpha_zero_is_identity(self, rng):
+        fc = _feat(rng)
+        fs = _feat(rng, h=9, w=7)
+        out = wct_ops.wct(jnp.asarray(fc), jnp.asarray(fs), 0.0)
+        np.testing.assert_allclose(np.asarray(out), fc, atol=1e-4)
+
+    @pytest.mark.parametrize("alpha", [1.0, 0.6])
+    def test_matches_numpy_oracle(self, rng, alpha):
+        fc = _feat(rng, c=12, scale=1.5)
+        fs = _feat(rng, h=10, w=9, c=12, scale=2.0, shift=0.5)
+        ours = np.asarray(wct_ops.wct(jnp.asarray(fc), jnp.asarray(fs), alpha))
+        oracle = numpy_wct_oracle(fc, fs, alpha)
+        np.testing.assert_allclose(ours, oracle, atol=2e-3, rtol=2e-3)
+
+    def test_eigenvector_sign_invariance(self, rng):
+        # U D Uᵀ products must not depend on eigenvector sign: two runs
+        # on identical data must agree exactly.
+        fc, fs = _feat(rng), _feat(rng, h=9, w=7)
+        a = wct_ops.wct(jnp.asarray(fc), jnp.asarray(fs), 1.0)
+        b = wct_ops.wct(jnp.asarray(fc.copy()), jnp.asarray(fs.copy()), 1.0)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestBatching:
+    def test_bitwise_stable_across_batch_sizes(self, rng):
+        fc = np.stack([_feat(rng) for _ in range(4)])
+        fs = np.stack([_feat(rng, h=9, w=7) for _ in range(4)])
+        full = np.asarray(wct_ops.wct_batched(jnp.asarray(fc), jnp.asarray(fs), 0.8))
+        one = np.asarray(
+            wct_ops.wct_batched(jnp.asarray(fc[:1]), jnp.asarray(fs[:1]), 0.8)
+        )
+        np.testing.assert_array_equal(full[:1], one)
+
+
+class TestInterpolation:
+    def test_stats_blend_equals_feature_blend(self, rng):
+        fc = _feat(rng, c=8)
+        fs1 = _feat(rng, h=9, w=7, c=8, scale=2.0)
+        fs2 = _feat(rng, h=9, w=7, c=8, scale=0.5, shift=1.0)
+        w = jnp.asarray([0.3, 0.7])
+
+        s1 = wct_ops.style_stats(jnp.asarray(fs1))
+        s2 = wct_ops.style_stats(jnp.asarray(fs2))
+        blended = wct_ops.interpolate_stats([s1, s2], w)
+        out_blend = wct_ops.wct_from_stats(jnp.asarray(fc), blended, 1.0)
+
+        o1 = wct_ops.wct_from_stats(jnp.asarray(fc), s1, 1.0)
+        o2 = wct_ops.wct_from_stats(jnp.asarray(fc), s2, 1.0)
+        np.testing.assert_allclose(
+            np.asarray(out_blend),
+            0.3 * np.asarray(o1) + 0.7 * np.asarray(o2),
+            atol=1e-4,
+        )
+
+    def test_weights_one_is_identity(self, rng):
+        fc, fs = _feat(rng, c=8), _feat(rng, h=9, w=7, c=8)
+        s = wct_ops.style_stats(jnp.asarray(fs))
+        blended = wct_ops.interpolate_stats([s], jnp.asarray([1.0]))
+        np.testing.assert_allclose(
+            np.asarray(wct_ops.wct_from_stats(jnp.asarray(fc), blended, 1.0)),
+            np.asarray(wct_ops.wct_from_stats(jnp.asarray(fc), s, 1.0)),
+            atol=1e-6,
+        )
+
+
+class TestStyleStatsCache:
+    def test_cached_stats_equal_direct(self, rng):
+        fc, fs = _feat(rng, c=8), _feat(rng, h=9, w=7, c=8)
+        stats = wct_ops.style_stats(jnp.asarray(fs))
+        via_cache = wct_ops.wct_from_stats(jnp.asarray(fc), stats, 0.7)
+        direct = wct_ops.wct(jnp.asarray(fc), jnp.asarray(fs), 0.7)
+        np.testing.assert_array_equal(np.asarray(via_cache), np.asarray(direct))

@@ -1,0 +1,230 @@
+"""The multi-level stylization cascade, fused into one jit graph.
+
+Rebuilds the reference's test-mode ``WCTModel`` (model.py:~145–250,
+reconstructed — SURVEY.md C7): content flows relu5_1 → … → relu1_1;
+each level encodes the running image, applies the feature transform
+(WCT / AdaIN / style-swap at relu5_1) at ``alpha``, and decodes.
+TPU-first differences:
+
+- ONE ``jax.jit`` spans all five levels, every conv, and every
+  eigendecomposition — zero host round-trips per frame (the
+  BASELINE.json north star; the reference could bounce to host for
+  every ``tf.svd``).
+- Style statistics are a first-class cacheable pytree
+  (``StyleCache``): computed once per style via a single encoder sweep
+  and reused for every frame/batch (BASELINE config 5), and linearly
+  interpolable for multi-style blending (config 3).
+- ``alpha``/interpolation weights are traced scalars — changing them
+  never recompiles.
+- Batching: convs are natively batched; the per-image Gram/eigh work
+  is ``vmap``-ed, keeping outputs bitwise-identical across batch sizes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from wct_tpu.models import decoder as dec_lib
+from wct_tpu.models import vgg
+from wct_tpu.ops import adain as adain_ops
+from wct_tpu.ops import style_swap as swap_ops
+from wct_tpu.ops import wct as wct_ops
+
+DEFAULT_TARGETS = ("relu5_1", "relu4_1", "relu3_1", "relu2_1", "relu1_1")
+
+
+@dataclasses.dataclass(frozen=True)
+class CascadeConfig:
+    """Static (hashable) pipeline configuration → one compiled graph each.
+
+    Mirrors the reference CLI surface (stylize.py flags, SURVEY.md C8):
+    ``relu_targets`` (cascade order), ``transform`` ('wct' | 'adain'),
+    ``swap5`` (+ patch params) for style-swap at relu5_1, ``passes``,
+    ``method`` selects the eigensolver path, ``compute_dtype`` the conv
+    precision (bf16 for throughput; Grams/eigh always accumulate f32).
+    """
+
+    relu_targets: tuple[str, ...] = DEFAULT_TARGETS
+    transform: str = "wct"  # 'wct' | 'adain'
+    swap5: bool = False
+    ss_alpha: float = 0.6
+    ss_patch_size: int = 3
+    ss_stride: int = 1
+    passes: int = 1
+    method: wct_ops.Method = "eigh"
+    compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LevelStyle:
+    """Per-level cached style statistics (whatever the config needs).
+
+    ``fs_white`` (whitened raw style features) is only populated for
+    the swap5 level; ``adain`` only for transform='adain'.
+    """
+
+    stats: wct_ops.StyleStats | None
+    adain: adain_ops.AdainStats | None
+    fs_white: jax.Array | None
+
+
+StyleCache = dict[str, LevelStyle]  # relu target → LevelStyle
+
+
+def init_params(key: jax.Array, targets: tuple[str, ...] = DEFAULT_TARGETS) -> dict:
+    """Random full-model params: {'encoder': ..., 'decoders': {target: ...}}."""
+    k_enc, *k_dec = jax.random.split(key, 1 + len(targets))
+    return {
+        "encoder": vgg.init_encoder_params(k_enc),
+        "decoders": {
+            t: dec_lib.init_decoder_params(k, t) for t, k in zip(targets, k_dec)
+        },
+    }
+
+
+def precompute_style(
+    encoder_params: dict, style_img: jax.Array, cfg: CascadeConfig
+) -> StyleCache:
+    """Encode a style image ``[H, W, 3]`` once; cache per-level statistics.
+
+    One trunk sweep (``encode_multi``) feeds every cascade level — the
+    reference re-encodes the style through five truncated encoders.
+    """
+    feats = vgg.encode_multi(
+        encoder_params, style_img[None].astype(cfg.dtype), cfg.relu_targets
+    )
+    cache: StyleCache = {}
+    for level in cfg.relu_targets:
+        fs = feats[level][0]
+        stats = adain_st = fs_white = None
+        if cfg.transform == "adain":
+            adain_st = adain_ops.adain_stats(fs)
+        else:
+            stats = wct_ops.style_stats(fs, method=cfg.method)
+        if cfg.swap5 and level == "relu5_1":
+            stats = stats or wct_ops.style_stats(fs, method=cfg.method)
+            w_s, mu_s = wct_ops.whitening_kernel(fs, method=cfg.method)
+            hs, ws, c = fs.shape
+            flat = fs.reshape(hs * ws, c).astype(jnp.float32)
+            fs_white = ((flat - mu_s[None, :]) @ w_s).reshape(hs, ws, c)
+        cache[level] = LevelStyle(stats=stats, adain=adain_st, fs_white=fs_white)
+    return cache
+
+
+def interpolate_style_caches(
+    caches: list[StyleCache], weights: jax.Array, cfg: CascadeConfig
+) -> StyleCache:
+    """Blend K styles' caches with ``weights: [K]`` (BASELINE config 3).
+
+    WCT coloring and AdaIN are linear in their statistics, so blending
+    cached stats ≡ blending colored features (SURVEY.md §A.2
+    interpolation). swap5's raw features are not blendable; the swap
+    level falls back to the first style's features.
+    """
+    out: StyleCache = {}
+    w = weights
+    for level in cfg.relu_targets:
+        entries = [c[level] for c in caches]
+        stats = adain_st = None
+        if entries[0].stats is not None:
+            stats = wct_ops.interpolate_stats([e.stats for e in entries], w)
+        if entries[0].adain is not None:
+            means = jnp.stack([e.adain.mean for e in entries])
+            stds = jnp.stack([e.adain.std for e in entries])
+            wf = w.astype(means.dtype)
+            adain_st = adain_ops.AdainStats(
+                mean=jnp.einsum("k,kc->c", wf, means),
+                std=jnp.einsum("k,kc->c", wf, stds),
+            )
+        out[level] = LevelStyle(
+            stats=stats, adain=adain_st, fs_white=entries[0].fs_white
+        )
+    return out
+
+
+def _transform_level(
+    fc: jax.Array,
+    level: str,
+    style: LevelStyle,
+    alpha: jax.Array,
+    cfg: CascadeConfig,
+) -> jax.Array:
+    """Apply the configured feature transform to ONE image's features."""
+    if cfg.swap5 and level == "relu5_1":
+        w_c, mu_c = wct_ops.whitening_kernel(fc, method=cfg.method)
+        h, w, c = fc.shape
+        flat = fc.reshape(h * w, c).astype(jnp.float32)
+        fc_white = ((flat - mu_c[None, :]) @ w_c).reshape(h, w, c)
+        swapped = swap_ops.style_swap(
+            fc_white, style.fs_white, cfg.ss_alpha, cfg.ss_patch_size, cfg.ss_stride
+        )
+        colored = (
+            swapped.reshape(h * w, c) @ style.stats.kernel.astype(jnp.float32)
+            + style.stats.mean.astype(jnp.float32)[None, :]
+        )
+        out = alpha * colored + (1.0 - alpha) * flat
+        return out.reshape(h, w, c).astype(fc.dtype)
+    if cfg.transform == "adain":
+        return adain_ops.adain_from_stats(fc, style.adain, alpha)
+    return wct_ops.wct_from_stats(fc, style.stats, alpha, method=cfg.method)
+
+
+def stylize_fn(
+    params: dict,
+    content: jax.Array,
+    style_cache: StyleCache,
+    alpha: jax.Array | float,
+    cfg: CascadeConfig,
+) -> jax.Array:
+    """The full cascade on a batch ``[B, H, W, 3]`` — pure, jit-friendly.
+
+    Level loop and pass loop are Python loops over STATIC config, so
+    jit unrolls them into one flat graph (mixed feature resolutions are
+    fine: every shape is static given the input shape).
+    """
+    alpha = jnp.asarray(alpha, jnp.float32)
+    img = content.astype(cfg.dtype)
+    for _ in range(cfg.passes):
+        for level in cfg.relu_targets:
+            feats = vgg.encode(params["encoder"], img, level)
+            style = style_cache[level]
+            transformed = jax.vmap(
+                lambda f: _transform_level(f, level, style, alpha, cfg)
+            )(feats)
+            img = dec_lib.decode(params["decoders"][level], transformed, level)
+            img = jnp.clip(img, 0.0, 1.0)
+    return img
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def stylize(
+    params: dict,
+    content: jax.Array,
+    style_cache: StyleCache,
+    alpha: jax.Array | float,
+    cfg: CascadeConfig,
+) -> jax.Array:
+    """jit entry: one compiled graph per (cfg, shapes)."""
+    return stylize_fn(params, content, style_cache, alpha, cfg)
+
+
+def stylize_pair(
+    params: dict,
+    content: jax.Array,
+    style: jax.Array,
+    alpha: jax.Array | float = 1.0,
+    cfg: CascadeConfig = CascadeConfig(),
+) -> jax.Array:
+    """Convenience: single content [H,W,3] × style [H',W',3] → [H,W,3]."""
+    cache = precompute_style(params["encoder"], style, cfg)
+    return stylize(params, content[None], cache, alpha, cfg)[0]

@@ -1,0 +1,66 @@
+"""Adaptive instance normalization (AdaIN) feature transform.
+
+Reimplements WCT-TF's ``adain`` op (reference ops.py:~40–60,
+reconstructed — SURVEY.md C2): per-channel moment matching
+
+    out = σ_s · (f_c − μ_c) / σ_c + μ_s
+
+selected by the reference's ``--adain`` flag as a cheap alternative to
+the full WCT. Pure VPU elementwise work; XLA fuses it into the
+surrounding conv graph.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+# Reference uses eps=1e-5 inside the variance normalization
+# (tf.nn.moments + rsqrt; ops.py:~45).
+DEFAULT_EPS = 1e-5
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AdainStats:
+    """Cacheable per-level style moments: ``[C]`` mean and std."""
+
+    mean: jax.Array
+    std: jax.Array
+
+
+def adain_stats(fs: jax.Array, eps: float = DEFAULT_EPS) -> AdainStats:
+    """Channel mean/std of style features ``[H, W, C]`` (float32 accum)."""
+    f32 = fs.astype(jnp.float32)
+    mean = jnp.mean(f32, axis=(0, 1))
+    var = jnp.var(f32, axis=(0, 1))
+    return AdainStats(mean=mean, std=jnp.sqrt(var + eps))
+
+
+def adain_from_stats(
+    fc: jax.Array,
+    stats: AdainStats,
+    alpha: jax.Array | float = 1.0,
+    eps: float = DEFAULT_EPS,
+) -> jax.Array:
+    """AdaIN on content features ``[H, W, C]`` with cached style moments."""
+    in_dtype = fc.dtype
+    f32 = fc.astype(jnp.float32)
+    mu_c = jnp.mean(f32, axis=(0, 1))
+    var_c = jnp.var(f32, axis=(0, 1))
+    inv_std_c = jax.lax.rsqrt(var_c + eps)
+    out = stats.std * (f32 - mu_c) * inv_std_c + stats.mean
+    alpha = jnp.asarray(alpha, dtype=jnp.float32)
+    return (alpha * out + (1.0 - alpha) * f32).astype(in_dtype)
+
+
+def adain(
+    fc: jax.Array,
+    fs: jax.Array,
+    alpha: jax.Array | float = 1.0,
+    eps: float = DEFAULT_EPS,
+) -> jax.Array:
+    """AdaIN transform, single image: ``fc [H,W,C]``, ``fs [H',W',C]``."""
+    return adain_from_stats(fc, adain_stats(fs, eps), alpha, eps)

@@ -1,0 +1,258 @@
+"""Whitening–coloring transform (WCT) kernels, TPU-native.
+
+Reimplements the numerical core of WCT-TF's ``wct_tf`` (reference:
+ops.py:~65–140, reconstructed — see SURVEY.md §3.4 / §A.2) as pure JAX
+on-device math:
+
+    cov_c = f_c f_cᵀ/(N−1) + ε I
+    (S, U) = eigh(cov)               # tf.svd of a PSD matrix ≡ eigh
+    whiten:  f̂_c  = U_c S_c^{−1/2} U_cᵀ (f_c − μ_c)
+    color:   f̂_cs = U_s S_s^{+1/2} U_sᵀ f̂_c + μ_s
+    blend:   out  = α f̂_cs + (1−α) f_c
+
+Differences from the reference, by design (TPU-first):
+
+- ``eigh`` instead of ``tf.svd``: for a symmetric PSD matrix the two
+  agree up to eigenvector sign / degenerate-subspace rotation, and the
+  products ``U D Uᵀ`` used here are invariant to both. ``eigh`` lowers
+  to a single on-device XLA op — no host round-trip (the reference's
+  ``tf.svd`` was frequently CPU-placed; eliminating that is the north
+  star in BASELINE.json).
+- Rank truncation (reference keeps singular values > 1e-5) is done with
+  a static-shape ``where`` mask instead of dynamic slicing, so the
+  whole transform jits with fixed shapes.
+- The whitening and coloring rotations are folded into ONE C×C matrix
+  per image before touching the C×N feature matrix, so the hot matmul
+  is a single large MXU-friendly contraction.
+- Style statistics are exposed as a cacheable ``StyleStats`` pytree so
+  streaming/video paths encode a style once and reuse its coloring
+  kernel for every frame (BASELINE config 5).
+- Everything is batch-free at the core and ``vmap``-ed at the edges:
+  per-image Grams keep reduction order independent of batch size,
+  which is what makes outputs bitwise-stable across batch sizes.
+
+Layout convention: features are channels-last, ``[..., H, W, C]``; the
+flattened feature matrix is ``[N, C]`` (N = H·W) so the big matmuls are
+``[N, C] @ [C, C]`` — MXU-shaped without transposes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+
+# Reference ops.py:~70 uses eps=1e-8 on the Gram diagonal and truncates
+# eigenvalues at 1e-5 (SURVEY.md §A.2).
+DEFAULT_EPS = 1e-8
+DEFAULT_TRUNC = 1e-5
+
+Method = Literal["eigh", "newton_schulz", "newton_schulz_pallas"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StyleStats:
+    """Cacheable per-level style statistics.
+
+    ``color(x) = x @ kernel + mean`` recolors a whitened, zero-mean
+    feature matrix ``x: [N, C]``. ``kernel`` is the symmetric coloring
+    matrix ``U_s S_s^{1/2} U_sᵀ`` (C×C) and ``mean`` the style channel
+    mean (C,). Both are linear in the style, so multi-style
+    interpolation is a weighted sum of ``StyleStats`` (see
+    ``interpolate_stats``), matching the reference's feature-space
+    blend (webcam.py --interpolate, SURVEY.md C13).
+    """
+
+    kernel: jax.Array  # [C, C] symmetric coloring matrix
+    mean: jax.Array  # [C]
+
+
+def _flatten_hwc(f: jax.Array) -> jax.Array:
+    """[H, W, C] → [N, C] with N = H·W."""
+    h, w, c = f.shape
+    return f.reshape(h * w, c)
+
+
+def _sym_pow(cov: jax.Array, power: float, trunc: float) -> jax.Array:
+    """Symmetric matrix power via eigh with static-shape rank truncation.
+
+    Returns ``U diag(m(S)·S^power) Uᵀ`` where ``m(S) = S > trunc`` —
+    the reference's "keep singular values > 1e-5" (ops.py:~95) as a
+    mask instead of a dynamic slice (XLA needs static shapes).
+    """
+    s, u = jnp.linalg.eigh(cov)  # ascending eigenvalues
+    keep = s > trunc
+    s_pow = jnp.where(keep, jnp.sign(s) * jnp.abs(s) ** power, 0.0)
+    return (u * s_pow[None, :]) @ u.T
+
+
+def _gram(f_flat: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Mean-center and form the channel Gram of ``f_flat: [N, C]``.
+
+    Returns ``(cov [C, C], mean [C])`` with ``cov = fᵀf/(N−1)``
+    (reference ops.py:~80). Accumulates in float32 regardless of input
+    dtype so bf16 feature maps still get accurate covariances.
+    """
+    n = f_flat.shape[0]
+    f32 = f_flat.astype(jnp.float32)
+    mean = jnp.mean(f32, axis=0)
+    centered = f32 - mean[None, :]
+    cov = jax.lax.dot_general(
+        centered,
+        centered,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / (n - 1)
+    return cov, mean
+
+
+def _sqrt_kernels(
+    cov: jax.Array, power: float, trunc: float, method: Method
+) -> jax.Array:
+    """cov^{power} for power = ±1/2 with the selected eigensolver."""
+    if method == "eigh":
+        return _sym_pow(cov, power, trunc)
+    if method in ("newton_schulz", "newton_schulz_pallas"):
+        # Lazy import: keeps ops.wct importable without pallas deps.
+        from wct_tpu.ops import sqrtm
+
+        use_pallas = method == "newton_schulz_pallas"
+        sq, inv = sqrtm.newton_schulz_sqrtm(cov, use_pallas=use_pallas)
+        return inv if power < 0 else sq
+    raise ValueError(f"unknown WCT method: {method!r}")
+
+
+def whitening_kernel(
+    fc: jax.Array,
+    *,
+    eps: float = DEFAULT_EPS,
+    trunc: float = DEFAULT_TRUNC,
+    method: Method = "eigh",
+) -> tuple[jax.Array, jax.Array]:
+    """Whitening matrix + mean for content features ``fc: [H, W, C]``.
+
+    ``whiten(x) = (x − mean) @ kernel`` gives identity channel
+    covariance (on the retained rank). Mirrors reference ops.py:~85–110.
+    """
+    f_flat = _flatten_hwc(fc)
+    cov, mean = _gram(f_flat)
+    cov = cov + eps * jnp.eye(cov.shape[0], dtype=cov.dtype)
+    return _sqrt_kernels(cov, -0.5, trunc, method), mean
+
+
+def style_stats(
+    fs: jax.Array,
+    *,
+    eps: float = DEFAULT_EPS,
+    trunc: float = DEFAULT_TRUNC,
+    method: Method = "eigh",
+) -> StyleStats:
+    """Compute cacheable coloring statistics from style features [H, W, C].
+
+    Mirrors the style half of reference ops.py:~110–125; computing it
+    once per style (not per frame) is the persistent style-covariance
+    cache of BASELINE config 5.
+    """
+    f_flat = _flatten_hwc(fs)
+    cov, mean = _gram(f_flat)
+    cov = cov + eps * jnp.eye(cov.shape[0], dtype=cov.dtype)
+    kernel = _sqrt_kernels(cov, 0.5, trunc, method)
+    return StyleStats(kernel=kernel, mean=mean)
+
+
+def interpolate_stats(stats: list[StyleStats], weights: jax.Array) -> StyleStats:
+    """Blend K styles' statistics with ``weights: [K]``.
+
+    Coloring is linear in (kernel, mean), so blending stats is exactly
+    the reference's feature-space interpolation
+    ``Σ_k w_k · color_k(f̂_c)`` (webcam.py --interpolate, SURVEY.md
+    §A.2) at a fraction of the cost: one blended C×C kernel instead of
+    K recolorings.
+    """
+    kernels = jnp.stack([s.kernel for s in stats])  # [K, C, C]
+    means = jnp.stack([s.mean for s in stats])  # [K, C]
+    w = weights.astype(kernels.dtype)
+    return StyleStats(
+        kernel=jnp.einsum("k,kij->ij", w, kernels),
+        mean=jnp.einsum("k,kc->c", w, means),
+    )
+
+
+def wct_from_stats(
+    fc: jax.Array,
+    stats: StyleStats,
+    alpha: jax.Array | float = 1.0,
+    *,
+    eps: float = DEFAULT_EPS,
+    trunc: float = DEFAULT_TRUNC,
+    method: Method = "eigh",
+) -> jax.Array:
+    """Apply WCT to content features [H, W, C] given cached style stats.
+
+    The whitening rotation and the coloring kernel are folded into one
+    C×C transform before the [N, C] feature matrix is touched, so the
+    per-pixel work is a single MXU matmul:
+
+        out = (fc − μ_c) @ (W_c @ K_s) + μ_s
+    """
+    h, w, c = fc.shape
+    in_dtype = fc.dtype
+    f_flat = _flatten_hwc(fc).astype(jnp.float32)
+
+    w_c, mu_c = whitening_kernel(fc, eps=eps, trunc=trunc, method=method)
+    transform = jax.lax.dot_general(
+        w_c,
+        stats.kernel.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    colored = (f_flat - mu_c[None, :]) @ transform + stats.mean.astype(jnp.float32)[None, :]
+
+    # Reference ops.py:~135 blends against the ORIGINAL (uncentered)
+    # content features.
+    alpha = jnp.asarray(alpha, dtype=jnp.float32)
+    out = alpha * colored + (1.0 - alpha) * f_flat
+    return out.reshape(h, w, c).astype(in_dtype)
+
+
+def wct(
+    fc: jax.Array,
+    fs: jax.Array,
+    alpha: jax.Array | float = 1.0,
+    *,
+    eps: float = DEFAULT_EPS,
+    trunc: float = DEFAULT_TRUNC,
+    method: Method = "eigh",
+) -> jax.Array:
+    """Whitening–coloring transform, single image.
+
+    ``fc: [H, W, C]`` content features, ``fs: [H', W', C]`` style
+    features (spatial sizes may differ; channel count must match).
+    Equivalent to reference ``wct_tf(content, style, alpha, eps)``
+    (ops.py:~65) minus the batch-squeeze: batching here is explicit via
+    ``wct_batched``.
+    """
+    stats = style_stats(fs, eps=eps, trunc=trunc, method=method)
+    return wct_from_stats(fc, stats, alpha, eps=eps, trunc=trunc, method=method)
+
+
+@partial(jax.jit, static_argnames=("method",))
+def wct_batched(
+    fc: jax.Array,
+    fs: jax.Array,
+    alpha: jax.Array | float = 1.0,
+    *,
+    method: Method = "eigh",
+) -> jax.Array:
+    """vmap-ed WCT over a leading batch dim: ``[B, H, W, C]`` each.
+
+    Per-image Grams (no cross-batch fusion) keep reduction order — and
+    therefore output bits — independent of batch size (BASELINE:
+    "bitwise-stable across batch sizes").
+    """
+    alpha = jnp.broadcast_to(jnp.asarray(alpha, jnp.float32), (fc.shape[0],))
+    return jax.vmap(lambda c, s, a: wct(c, s, a, method=method))(fc, fs, alpha)

@@ -1,0 +1,78 @@
+"""Device mesh + sharding for batched stylization and training.
+
+Entirely new scope relative to the reference (WCT-TF is single-process
+single-GPU, batch 1 — SURVEY.md §2 "Parallelism strategies: none").
+The TPU-native design (SURVEY.md §5, distributed-communication row):
+
+- a 1-D ``data`` mesh over all chips; batches shard over it, params
+  replicate; XLA inserts the (nil, at inference) collectives over ICI;
+- per-image Gram/eigh work is already ``vmap``-ed, so data sharding
+  splits it perfectly — no cross-device reductions at inference;
+- training does the same with a ``psum`` of gradients (via
+  ``NamedSharding``-annotated jit — XLA emits the all-reduce over ICI).
+
+No NCCL/MPI analogue exists or is needed: ``jax.sharding`` + jit IS the
+communication backend on TPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from wct_tpu.models import cascade as cascade_lib
+
+
+def create_mesh(
+    n_devices: int | None = None, axis_name: str = "data"
+) -> Mesh:
+    """1-D mesh over the first ``n_devices`` devices (all by default)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard a [B, ...] array's leading dim over the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully replicated sharding (params, style cache, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(x: jax.Array, mesh: Mesh, axis_name: str = "data") -> jax.Array:
+    """Place a host batch onto the mesh, sharded over its leading dim."""
+    return jax.device_put(x, batch_sharding(mesh, axis_name))
+
+
+def stylize_sharded(
+    params: dict,
+    content: jax.Array,
+    style_cache: cascade_lib.StyleCache,
+    alpha,
+    cfg: cascade_lib.CascadeConfig,
+    mesh: Mesh,
+    axis_name: str = "data",
+) -> jax.Array:
+    """Data-parallel cascade over the mesh (BASELINE config 4).
+
+    Batch shards over ``data``; params + style cache replicate. The
+    cascade has no cross-image math, so XLA compiles this to fully
+    independent per-shard programs — linear scaling over ICI-connected
+    chips without any code change to the cascade itself.
+    """
+    bsharding = batch_sharding(mesh, axis_name)
+    rep = replicated(mesh)
+    fn = jax.jit(
+        partial(cascade_lib.stylize_fn, cfg=cfg),
+        in_shardings=(rep, bsharding, rep, rep),
+        out_shardings=bsharding,
+    )
+    return fn(params, content, style_cache, jnp.asarray(alpha, jnp.float32))
