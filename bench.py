@@ -1,0 +1,125 @@
+"""Headline benchmark: 512px stylized frames/sec/chip, full 5-level WCT.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` is value / 60 — the BASELINE.json north-star target
+(≥60 stylized 512px frames/sec/chip on v5e, full relu5_1→relu1_1
+cascade). Detail (per-config latency/throughput, both precision modes)
+goes to stderr so stdout stays one line.
+
+Measurement notes (hard-won — see .claude/skills/verify/SKILL.md):
+- ``block_until_ready`` does NOT synchronize through the axon TPU
+  tunnel; every timing here syncs via a single-element device read
+  (``float(out.ravel()[0])``), which requires the program (and all
+  programs enqueued before it — TPU executes in order) to finish.
+- The tunnel has a ~27 ms round-trip floor per synced call. Throughput
+  is therefore measured by enqueueing K distinct pre-uploaded batches
+  and syncing ONCE on the last output: frames = K·B / elapsed.
+- Weights are random: conv/eigh/NS FLOPs are weight-independent.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(out) -> None:
+    """Real device sync: one-element read (block_until_ready lies on axon)."""
+    _ = float(jax.tree.leaves(out)[0].ravel()[0])
+
+
+def latency(fn, arg, n=5) -> float:
+    """Median per-call latency with per-call sync (includes tunnel RTT)."""
+    _sync(fn(arg))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        _sync(fn(arg))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def throughput(fn, args_list, n_rounds=3) -> float:
+    """Frames/sec: enqueue all batches, sync once on the last output.
+
+    TPU programs execute in order, so the last output being readable
+    means every enqueued program finished.
+    """
+    _sync(fn(args_list[0]))
+    frames = sum(a.shape[0] for a in args_list)
+    rates = []
+    for _ in range(n_rounds):
+        t0 = time.perf_counter()
+        out = None
+        for a in args_list:
+            out = fn(a)
+        _sync(out)
+        rates.append(frames / (time.perf_counter() - t0))
+    return float(np.median(rates))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--size", type=int, default=512)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--n-batches", type=int, default=8)
+    parser.add_argument("--fidelity-too", action="store_true",
+                        help="also measure the f32+eigh fidelity path")
+    args = parser.parse_args()
+
+    from wct_tpu.models import cascade
+
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)
+    log(f"device: {jax.devices()[0].device_kind} ({jax.default_backend()})")
+
+    rng = np.random.default_rng(0)
+    params = cascade.init_params(jax.random.PRNGKey(0))
+    style = jnp.asarray(rng.random((args.size, args.size, 3), np.float32))
+    content1 = jnp.asarray(rng.random((1, args.size, args.size, 3), np.float32))
+    batches = [
+        jnp.asarray(rng.random((args.batch, args.size, args.size, 3), np.float32))
+        for _ in range(args.n_batches)
+    ]
+
+    modes = [("bfloat16", "newton_schulz")]
+    if args.fidelity_too:
+        modes.append(("float32", "eigh"))
+
+    best = 0.0
+    for dtype, method in modes:
+        cfg = cascade.CascadeConfig(compute_dtype=dtype, method=method)
+        cache = cascade.precompute_style(params["encoder"], style, cfg)
+        alpha = jnp.float32(0.6)
+        fn = lambda c: cascade.stylize(params, c, cache, alpha, cfg)
+
+        t1 = latency(fn, content1)
+        fps = throughput(fn, batches)
+        best = max(best, fps)
+        log(
+            f"{dtype}/{method}: batch-1 latency {t1 * 1e3:.1f} ms (incl. "
+            f"~27 ms tunnel RTT) | pipelined batch-{args.batch} throughput "
+            f"{fps:.1f} frames/s/chip"
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": f"{args.size}px stylized frames/sec/chip (5-level WCT)",
+                "value": round(best, 2),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(best / 60.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

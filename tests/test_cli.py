@@ -1,0 +1,210 @@
+"""CLI end-to-end smoke tests on CPU with tiny images."""
+
+import numpy as np
+import pytest
+
+from wct_tpu.utils import images
+
+
+@pytest.fixture
+def tiny_imgs(tmp_path, rng):
+    c_dir = tmp_path / "content"
+    s_dir = tmp_path / "style"
+    o_dir = tmp_path / "out"
+    c_dir.mkdir()
+    s_dir.mkdir()
+    images.save_img(c_dir / "c1.png", rng.random((40, 48, 3)))
+    images.save_img(s_dir / "s1.png", rng.random((32, 32, 3)))
+    images.save_img(s_dir / "s2.png", rng.random((32, 32, 3)))
+    return c_dir, s_dir, o_dir
+
+
+def test_stylize_cli_end_to_end(tiny_imgs):
+    from wct_tpu.cli import stylize as cli
+
+    c_dir, s_dir, o_dir = tiny_imgs
+    cli.main(
+        [
+            "--content-path", str(c_dir),
+            "--style-path", str(s_dir),
+            "--out-path", str(o_dir),
+            "--relu-targets", "relu2_1", "relu1_1",
+            "--content-size", "32",
+            "--alpha", "0.7",
+        ]
+    )
+    outs = images.get_files(o_dir)
+    assert len(outs) == 2  # 1 content × 2 styles
+    img = images.get_img(outs[0])
+    assert img.shape[2] == 3 and np.isfinite(img).all()
+
+
+def test_stylize_cli_interp_and_keep_colors(tiny_imgs):
+    from wct_tpu.cli import stylize as cli
+
+    c_dir, s_dir, o_dir = tiny_imgs
+    cli.main(
+        [
+            "--content-path", str(c_dir),
+            "--style-path", str(s_dir),
+            "--out-path", str(o_dir),
+            "--relu-targets", "relu1_1",
+            "--content-size", "32",
+            "--interp-weights", "0.3", "0.7",
+            "--keep-colors",
+        ]
+    )
+    outs = images.get_files(o_dir)
+    assert len(outs) == 1  # interpolation = one output per content
+    assert "interp" in outs[0]
+
+
+def test_stylize_cli_wrong_interp_weights(tiny_imgs):
+    from wct_tpu.cli import stylize as cli
+
+    c_dir, s_dir, o_dir = tiny_imgs
+    with pytest.raises(SystemExit):
+        cli.main(
+            [
+                "--content-path", str(c_dir),
+                "--style-path", str(s_dir),
+                "--out-path", str(o_dir),
+                "--relu-targets", "relu1_1",
+                "--interp-weights", "1.0",  # 2 styles, 1 weight
+            ]
+        )
+
+
+def test_train_cli_synthetic(tmp_path):
+    from wct_tpu.cli import train as cli
+
+    ckpt = tmp_path / "ckpt"
+    cli.main(
+        [
+            "--relu-target", "relu1_1",
+            "--synthetic",
+            "--checkpoint-dir", str(ckpt),
+            "--batch-size", "2",
+            "--crop-size", "32",
+            "--max-iter", "4",
+            "--save-iter", "4",
+            "--summary-iter", "2",
+        ]
+    )
+    assert (ckpt / "state_latest.npz").exists()
+    assert (ckpt / "decoder_relu1_1.npz").exists()
+    assert (ckpt / "metrics.jsonl").read_text().strip()
+
+
+def test_train_cli_resume(tmp_path):
+    from wct_tpu.cli import train as cli
+
+    ckpt = tmp_path / "ckpt"
+    common = [
+        "--relu-target", "relu1_1",
+        "--synthetic",
+        "--checkpoint-dir", str(ckpt),
+        "--batch-size", "2",
+        "--crop-size", "32",
+        "--save-iter", "2",
+        "--summary-iter", "2",
+    ]
+    cli.main(common + ["--max-iter", "2"])
+    cli.main(common + ["--max-iter", "4", "--resume"])
+    import json
+
+    steps = [
+        json.loads(line)["step"]
+        for line in (ckpt / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert max(steps) >= 4
+
+
+def test_trained_decoder_loads_into_stylize(tmp_path, rng):
+    """Train a decoder, bundle it with the encoder, stylize with it."""
+    import jax
+
+    from wct_tpu.cli import stylize as s_cli
+    from wct_tpu.cli import train as t_cli
+    from wct_tpu.models import vgg
+    from wct_tpu.train import checkpoint
+
+    ckpt = tmp_path / "ckpt"
+    t_cli.main(
+        [
+            "--relu-target", "relu1_1",
+            "--synthetic",
+            "--checkpoint-dir", str(ckpt),
+            "--batch-size", "2",
+            "--crop-size", "32",
+            "--max-iter", "2",
+            "--save-iter", "2",
+        ]
+    )
+    dec = checkpoint.load_pytree(ckpt / "decoder_relu1_1.npz")
+    enc = vgg.init_encoder_params(jax.random.PRNGKey(0))
+    bundle = tmp_path / "bundle.npz"
+    checkpoint.save_pytree(bundle, {"encoder": enc, "decoders": {"relu1_1": dec}})
+
+    c_dir = tmp_path / "content"
+    c_dir.mkdir()
+    images.save_img(c_dir / "c.png", rng.random((32, 32, 3)))
+    o_dir = tmp_path / "out"
+    s_cli.main(
+        [
+            "--weights", str(bundle),
+            "--content-path", str(c_dir),
+            "--style-path", str(c_dir),
+            "--out-path", str(o_dir),
+            "--relu-targets", "relu1_1",
+        ]
+    )
+    assert len(images.get_files(o_dir)) == 1
+
+
+class TestStreamEngine:
+    def test_process_frames_with_cached_style(self, rng):
+        import jax
+
+        from wct_tpu.models import cascade
+        from wct_tpu.utils.stream import StreamStylizer
+
+        params = cascade.init_params(jax.random.PRNGKey(0))
+        cfg = cascade.CascadeConfig(relu_targets=("relu2_1", "relu1_1"))
+        eng = StreamStylizer(params, cfg, 32, 32)
+        eng.set_style(rng.random((32, 32, 3)).astype(np.float32))
+        out1 = eng.process(rng.random((32, 32, 3)).astype(np.float32))
+        # Differently-sized frame gets resized to the fixed shape.
+        out2 = eng.process(rng.random((48, 64, 3)).astype(np.float32))
+        assert out1.shape == out2.shape == (32, 32, 3)
+
+    def test_interpolation_weights_live(self, rng):
+        import jax
+
+        from wct_tpu.models import cascade
+        from wct_tpu.utils.stream import StreamStylizer
+
+        params = cascade.init_params(jax.random.PRNGKey(0))
+        cfg = cascade.CascadeConfig(relu_targets=("relu1_1",))
+        eng = StreamStylizer(params, cfg, 32, 32)
+        s1 = rng.random((32, 32, 3)).astype(np.float32)
+        s2 = rng.random((32, 32, 3)).astype(np.float32)
+        eng.set_styles_interpolated([s1, s2], np.array([1.0, 0.0]))
+        frame = rng.random((32, 32, 3)).astype(np.float32)
+        out_a = eng.process(frame)
+        eng.set_interp_weights(np.array([0.0, 1.0]))
+        out_b = eng.process(frame)
+        assert not np.allclose(out_a, out_b)
+
+    def test_no_style_raises(self, rng):
+        import jax
+
+        from wct_tpu.models import cascade
+        from wct_tpu.utils.stream import StreamStylizer
+
+        params = cascade.init_params(jax.random.PRNGKey(0))
+        eng = StreamStylizer(
+            params, cascade.CascadeConfig(relu_targets=("relu1_1",)), 32, 32
+        )
+        with pytest.raises(RuntimeError, match="no style"):
+            eng.process(rng.random((32, 32, 3)).astype(np.float32))

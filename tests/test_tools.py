@@ -1,0 +1,155 @@
+"""Converter tests: t7 round-trip, t7→encoder mapping, TF-var mapping."""
+
+import numpy as np
+import pytest
+
+from wct_tpu.models import decoder as dec_lib
+from wct_tpu.models import vgg
+from wct_tpu.tools import convert_t7, convert_tf_ckpt, t7_reader
+
+
+class TestT7Reader:
+    def test_roundtrip_primitives(self, tmp_path):
+        obj = {
+            "num": 3.5,
+            "flag": True,
+            "name": "hello",
+            "list": [1.0, 2.0, "x"],
+            "none": None,
+        }
+        path = tmp_path / "prim.t7"
+        t7_reader.write_t7(str(path), obj)
+        back = t7_reader.load_t7(str(path))
+        assert back["num"] == 3.5
+        assert back["flag"] is True
+        assert back["name"] == "hello"
+        assert back["list"] == [1.0, 2.0, "x"]
+        assert back["none"] is None
+
+    def test_roundtrip_tensors(self, tmp_path, rng):
+        w32 = rng.standard_normal((4, 3, 3, 3)).astype(np.float32)
+        w64 = rng.standard_normal((5,)).astype(np.float64)
+        path = tmp_path / "tensors.t7"
+        t7_reader.write_t7(str(path), {"w": w32, "b": w64})
+        back = t7_reader.load_t7(str(path))
+        np.testing.assert_array_equal(back["w"], w32)
+        np.testing.assert_array_equal(back["b"], w64)
+
+    def test_roundtrip_torch_object(self, tmp_path, rng):
+        mod = t7_reader.TorchObject(
+            "nn.SpatialConvolution",
+            {"weight": rng.standard_normal((2, 3, 1, 1)).astype(np.float32),
+             "bias": np.zeros(2, np.float32)},
+        )
+        seq = t7_reader.TorchObject("nn.Sequential", {"modules": [mod]})
+        path = tmp_path / "seq.t7"
+        t7_reader.write_t7(str(path), seq)
+        back = t7_reader.load_t7(str(path))
+        assert back.torch_typename == "nn.Sequential"
+        assert back["modules"][0].torch_typename == "nn.SpatialConvolution"
+        np.testing.assert_array_equal(
+            back["modules"][0]["weight"], mod.attrs["weight"]
+        )
+
+
+def _fake_vgg_t7(rng) -> t7_reader.TorchObject:
+    """Synthetic nn.Sequential matching the normalised-VGG layout."""
+    modules = []
+    for spec in vgg.ENCODER_LAYERS:
+        if spec[0] == "pool":
+            modules.append(t7_reader.TorchObject("nn.SpatialMaxPooling", {}))
+            continue
+        _, name, in_c, out_c, k = spec
+        if k > 1:
+            modules.append(
+                t7_reader.TorchObject("nn.SpatialReflectionPadding", {})
+            )
+        modules.append(
+            t7_reader.TorchObject(
+                "nn.SpatialConvolution",
+                {
+                    "weight": rng.standard_normal((out_c, in_c, k, k)).astype(
+                        np.float32
+                    ),
+                    "bias": rng.standard_normal((out_c,)).astype(np.float32),
+                },
+            )
+        )
+        modules.append(t7_reader.TorchObject("nn.ReLU", {}))
+    return t7_reader.TorchObject("nn.Sequential", {"modules": modules})
+
+
+class TestConvertT7:
+    def test_maps_all_encoder_convs(self, tmp_path, rng):
+        t7 = _fake_vgg_t7(rng)
+        params = convert_t7.t7_to_encoder_params(t7)
+        conv_names = [s[1] for s in vgg.ENCODER_LAYERS if s[0] != "pool"]
+        assert set(params) == set(conv_names)
+        # HWIO layout with correct channels.
+        assert params["conv1_1"]["w"].shape == (3, 3, 3, 64)
+        assert params["conv0"]["w"].shape == (1, 1, 3, 3)
+
+    def test_weights_transposed_correctly(self, rng):
+        t7 = _fake_vgg_t7(rng)
+        convs = [
+            m for m in convert_t7._iter_modules(t7)
+            if m.torch_typename.endswith("SpatialConvolution")
+        ]
+        params = convert_t7.t7_to_encoder_params(t7)
+        np.testing.assert_array_equal(
+            params["conv1_1"]["w"],
+            convs[1]["weight"].transpose(2, 3, 1, 0),
+        )
+
+    def test_cli_end_to_end(self, tmp_path, rng):
+        from wct_tpu.train import checkpoint
+
+        t7_path = tmp_path / "vgg.t7"
+        t7_reader.write_t7(str(t7_path), _fake_vgg_t7(rng))
+        out = tmp_path / "encoder.npz"
+        convert_t7.main([str(t7_path), str(out)])
+        tree = checkpoint.load_pytree(out)
+        assert "conv5_1" in tree["encoder"]
+
+        # And the converted encoder actually runs.
+        import jax.numpy as jnp
+
+        f = vgg.encode(
+            tree["encoder"], jnp.asarray(rng.random((1, 32, 32, 3), np.float32)),
+            "relu3_1",
+        )
+        assert f.shape == (1, 8, 8, 256)
+
+    def test_truncated_t7_fails_loudly(self, rng):
+        t7 = _fake_vgg_t7(rng)
+        t7.attrs["modules"] = t7.attrs["modules"][:5]
+        with pytest.raises(ValueError, match="convolutions"):
+            convert_t7.t7_to_encoder_params(t7)
+
+
+class TestConvertTFCkpt:
+    def test_positional_mapping(self, rng):
+        target = "relu2_1"
+        specs = [s for s in dec_lib.decoder_layers(target) if s[0] == "conv"]
+        variables = {}
+        for i, (_, name, in_c, out_c, k) in enumerate(specs):
+            variables[f"decoder_{target}/conv_{i}/kernel"] = rng.standard_normal(
+                (k, k, in_c, out_c)
+            ).astype(np.float32)
+            variables[f"decoder_{target}/conv_{i}/bias"] = rng.standard_normal(
+                (out_c,)
+            ).astype(np.float32)
+        params = convert_tf_ckpt.tf_vars_to_decoder_params(variables, target)
+        assert set(params) == {s[1] for s in specs}
+        np.testing.assert_array_equal(
+            params[specs[0][1]]["w"],
+            variables[f"decoder_{target}/conv_0/kernel"],
+        )
+
+    def test_wrong_shapes_fail(self, rng):
+        variables = {
+            "k0": rng.standard_normal((3, 3, 7, 7)).astype(np.float32),
+            "b0": np.zeros(7, np.float32),
+        }
+        with pytest.raises(ValueError):
+            convert_tf_ckpt.tf_vars_to_decoder_params(variables, "relu1_1")

@@ -1,0 +1,107 @@
+"""Trainer tests: loss decreases, state round-trips, sharded step parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wct_tpu.models import vgg
+from wct_tpu.parallel import mesh as mesh_lib
+from wct_tpu.train import (
+    DevicePrefetcher,
+    TrainConfig,
+    init_train_state,
+    load_pytree,
+    make_sharded_train_step,
+    reconstruction_loss,
+    save_pytree,
+    synthetic_batches,
+    train_step,
+)
+
+CFG = TrainConfig(
+    relu_target="relu2_1", batch_size=4, crop_size=32, learning_rate=1e-3
+)
+
+
+@pytest.fixture(scope="module")
+def enc_params():
+    return vgg.init_encoder_params(jax.random.PRNGKey(1))
+
+
+def test_loss_decreases(enc_params):
+    state = init_train_state(jax.random.PRNGKey(2), CFG)
+    batches = synthetic_batches(CFG.batch_size, CFG.crop_size, seed=3)
+    batch = jnp.asarray(next(batches))
+    _, m0 = train_step(state, enc_params, batch, CFG)
+    state = init_train_state(jax.random.PRNGKey(2), CFG)
+    for _ in range(30):
+        state, metrics = train_step(state, enc_params, batch, CFG)
+    assert float(metrics["loss"]) < float(m0["loss"])
+    assert int(state.step) == 30
+
+
+def test_metrics_structure(enc_params):
+    state = init_train_state(jax.random.PRNGKey(2), CFG)
+    batch = jnp.asarray(next(synthetic_batches(CFG.batch_size, CFG.crop_size)))
+    loss, metrics = reconstruction_loss(state.params, enc_params, batch, CFG)
+    assert set(metrics) == {"loss", "pixel", "feature", "tv"}
+    assert np.isfinite(float(loss))
+
+
+def test_tv_loss_active(enc_params):
+    cfg_tv = TrainConfig(
+        relu_target="relu2_1", batch_size=2, crop_size=32, tv_weight=10.0
+    )
+    state = init_train_state(jax.random.PRNGKey(2), cfg_tv)
+    batch = jnp.asarray(next(synthetic_batches(2, 32)))
+    _, metrics = reconstruction_loss(state.params, enc_params, batch, cfg_tv)
+    assert float(metrics["tv"]) > 0
+
+
+def test_checkpoint_roundtrip(tmp_path, enc_params):
+    state = init_train_state(jax.random.PRNGKey(4), CFG)
+    batch = jnp.asarray(next(synthetic_batches(CFG.batch_size, CFG.crop_size)))
+    state, _ = train_step(state, enc_params, batch, CFG)
+    path = tmp_path / "state.npz"
+    save_pytree(path, {"params": state.params, "step": state.step})
+    loaded = load_pytree(path)
+    assert int(loaded["step"]) == 1
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        loaded["params"],
+        state.params,
+    )
+
+
+def test_sharded_step_matches_single(enc_params):
+    mesh = mesh_lib.create_mesh()
+    cfg = TrainConfig(relu_target="relu1_1", batch_size=8, crop_size=32)
+    batch = jnp.asarray(next(synthetic_batches(8, 32, seed=5)))
+
+    s1 = init_train_state(jax.random.PRNGKey(6), cfg)
+    s1, m1 = train_step(s1, enc_params, batch, cfg)
+
+    s2 = init_train_state(jax.random.PRNGKey(6), cfg)
+    sharded_step = make_sharded_train_step(mesh, cfg)
+    sharded_batch = mesh_lib.shard_batch(batch, mesh)
+    s2, m2 = sharded_step(s2, enc_params, sharded_batch)
+
+    # The cross-device gradient all-reduce changes reduction order →
+    # bit-level differences only.
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        s1.params,
+        s2.params,
+    )
+
+
+def test_prefetcher_delivers_on_device():
+    it = iter([np.zeros((2, 8, 8, 3), np.float32)] * 3)
+    pf = DevicePrefetcher(it, depth=2)
+    out = list(pf)
+    assert len(out) == 3
+    assert all(isinstance(b, jax.Array) for b in out)

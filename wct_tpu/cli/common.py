@@ -1,0 +1,92 @@
+"""Shared CLI plumbing: flags → CascadeConfig, weight loading.
+
+The reference duplicates its flag lists between stylize.py and
+webcam.py (SURVEY.md §5, config row flags this as a defect); here both
+front-ends parse through one flag builder and one loader.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from wct_tpu.models import cascade
+from wct_tpu.train import checkpoint
+
+
+def add_model_flags(p: argparse.ArgumentParser) -> None:
+    """Flags shared by every front-end (reference stylize.py:~15 flags)."""
+    p.add_argument(
+        "--weights",
+        default=None,
+        help="npz bundle with {'encoder':..., 'decoders': {relu_target: ...}} "
+        "(see tools/convert_t7.py / train CLI). Omit for random weights "
+        "(smoke tests).",
+    )
+    p.add_argument(
+        "--relu-targets",
+        nargs="+",
+        default=list(cascade.DEFAULT_TARGETS),
+        help="cascade order, deepest first (reference --relu-targets)",
+    )
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--passes", type=int, default=1)
+    p.add_argument("--adain", action="store_true", help="AdaIN instead of WCT")
+    p.add_argument("--swap5", action="store_true", help="style-swap at relu5_1")
+    p.add_argument("--ss-alpha", type=float, default=0.6)
+    p.add_argument("--ss-patch-size", type=int, default=3)
+    p.add_argument("--ss-stride", type=int, default=1)
+    p.add_argument(
+        "--method",
+        choices=["eigh", "newton_schulz", "newton_schulz_pallas"],
+        default="eigh",
+        help="matrix-sqrt path for WCT",
+    )
+    p.add_argument(
+        "--dtype",
+        choices=["float32", "bfloat16"],
+        default="float32",
+        help="conv compute dtype (bfloat16 = throughput mode)",
+    )
+
+
+def config_from_args(args: argparse.Namespace) -> cascade.CascadeConfig:
+    return cascade.CascadeConfig(
+        relu_targets=tuple(args.relu_targets),
+        transform="adain" if args.adain else "wct",
+        swap5=args.swap5,
+        ss_alpha=args.ss_alpha,
+        ss_patch_size=args.ss_patch_size,
+        ss_stride=args.ss_stride,
+        passes=args.passes,
+        method=args.method,
+        compute_dtype=args.dtype,
+    )
+
+
+def load_params(args: argparse.Namespace) -> dict:
+    """Load the weight bundle, or random-init (printing a loud notice)."""
+    targets = tuple(args.relu_targets)
+    if args.weights:
+        params = checkpoint.load_pytree(args.weights)
+        missing = [t for t in targets if t not in params.get("decoders", {})]
+        if "encoder" not in params or missing:
+            raise SystemExit(
+                f"weight bundle {args.weights} lacks encoder or decoders "
+                f"for {missing}"
+            )
+        params["decoders"] = {
+            t: params["decoders"][t] for t in targets
+        }
+        return params
+    print(
+        "[wct_tpu] NOTE: no --weights given — using RANDOM weights "
+        "(pipeline smoke test, not a meaningful stylization)"
+    )
+    return cascade.init_params(jax.random.PRNGKey(0), targets)
+
+
+def to_device_img(img) -> jax.Array:
+    return jnp.asarray(img, jnp.float32)

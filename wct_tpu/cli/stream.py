@@ -1,0 +1,152 @@
+"""Webcam / video stylization CLI — the rebuild of reference webcam.py (C13).
+
+    python -m wct_tpu.cli.stream --weights bundle.npz --style-path styles/ \
+        [--source 0 | --video in.mp4] [--out out.mp4] [--width 1280 --height 720]
+
+Interactive keys (with a display; reference webcam.py bindings
+reconstructed): n/p next/prev style, +/- alpha, k toggle keep-colors,
+i toggle 2-style interpolation sweep, q quit. With ``--out`` and no
+display, frames stream to a video file instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+from wct_tpu.cli import common
+from wct_tpu.utils import images
+from wct_tpu.utils.stream import StreamStylizer, VideoSource
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_model_flags(p)
+    p.add_argument("--style-path", required=True, help="style image or dir")
+    p.add_argument("--style-size", type=int, default=512)
+    p.add_argument("--source", type=int, default=0, help="camera index")
+    p.add_argument("--video", default=None, help="video file instead of camera")
+    p.add_argument("--out", default=None, help="write stylized video here")
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--fps", type=float, default=30.0, help="output video fps")
+    p.add_argument("--keep-colors", action="store_true")
+    p.add_argument("--no-display", action="store_true")
+    p.add_argument("--interpolate", action="store_true",
+                   help="sweep blend weights between the first two styles")
+    p.add_argument("--max-frames", type=int, default=0, help="0 = unlimited")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    import cv2
+
+    cfg = common.config_from_args(args)
+    params = common.load_params(args)
+
+    style_files = (
+        images.get_files(args.style_path)
+        if not args.style_path.lower().endswith(images.IMG_EXTS)
+        else [args.style_path]
+    )
+    if not style_files:
+        raise SystemExit(f"no style images under {args.style_path}")
+    styles = [
+        images.resize_to(images.get_img(f), args.style_size) for f in style_files
+    ]
+
+    engine = StreamStylizer(
+        params, cfg, args.height, args.width, keep_colors=args.keep_colors
+    )
+    engine.alpha = args.alpha
+    style_idx = 0
+    interp_phase = 0.0
+    if args.interpolate and len(styles) >= 2:
+        engine.set_styles_interpolated(styles[:2], np.array([1.0, 0.0]))
+    else:
+        args.interpolate = False
+        engine.set_style(styles[style_idx])
+
+    source = VideoSource(
+        args.video if args.video else args.source, args.width, args.height
+    ).start()
+    writer = None
+    if args.out:
+        writer = cv2.VideoWriter(
+            args.out,
+            cv2.VideoWriter_fourcc(*"mp4v"),
+            args.fps,
+            (args.width, args.height),
+        )
+
+    n = 0
+    t_start = time.perf_counter()
+    try:
+        while not source.stopped:
+            frame_bgr = source.read()
+            if frame_bgr is None:
+                time.sleep(0.005)
+                continue
+            frame_rgb = frame_bgr[..., ::-1].astype(np.float32) / 255.0
+
+            if args.interpolate:
+                # Sweep the 2-style blend like the reference demo.
+                interp_phase += 0.02
+                w0 = 0.5 * (1 + np.cos(interp_phase))
+                engine.set_interp_weights(np.array([w0, 1 - w0]))
+
+            t0 = time.perf_counter()
+            stylized = engine.process(frame_rgb)
+            dt = time.perf_counter() - t0
+
+            out_bgr = (np.clip(stylized, 0, 1) * 255).astype(np.uint8)[..., ::-1]
+            if writer is not None:
+                writer.write(out_bgr)
+            n += 1
+            if n % 30 == 0:
+                print(f"frame {n}: {dt * 1000:.0f} ms ({1 / dt:.1f} fps)")
+
+            if not args.no_display:
+                cv2.imshow("wct_tpu", out_bgr)
+                key = cv2.waitKey(1) & 0xFF
+                if key == ord("q"):
+                    break
+                elif key == ord("n"):
+                    style_idx = (style_idx + 1) % len(styles)
+                    engine.set_style(styles[style_idx])
+                elif key == ord("p"):
+                    style_idx = (style_idx - 1) % len(styles)
+                    engine.set_style(styles[style_idx])
+                elif key in (ord("+"), ord("=")):
+                    engine.alpha = min(1.0, engine.alpha + 0.1)
+                    print(f"alpha={engine.alpha:.1f}")
+                elif key == ord("-"):
+                    engine.alpha = max(0.0, engine.alpha - 0.1)
+                    print(f"alpha={engine.alpha:.1f}")
+                elif key == ord("k"):
+                    engine.keep_colors = not engine.keep_colors
+                elif key == ord("i") and len(styles) >= 2:
+                    args.interpolate = not args.interpolate
+                    if args.interpolate:
+                        engine.set_styles_interpolated(
+                            styles[:2], np.array([1.0, 0.0])
+                        )
+                    else:
+                        engine.set_style(styles[style_idx])
+            if args.max_frames and n >= args.max_frames:
+                break
+    finally:
+        elapsed = time.perf_counter() - t_start
+        print(f"{n} frames in {elapsed:.1f}s = {n / max(elapsed, 1e-9):.1f} fps")
+        source.stop()
+        if writer is not None:
+            writer.release()
+        if not args.no_display:
+            cv2.destroyAllWindows()
+
+
+if __name__ == "__main__":
+    main()

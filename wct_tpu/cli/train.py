@@ -1,0 +1,176 @@
+"""Decoder training CLI — the rebuild of reference train.py (C12).
+
+    python -m wct_tpu.cli.train --relu-target relu3_1 \
+        --content-path /data/coco --checkpoint-dir ckpt/relu3_1 \
+        --encoder-weights vgg.npz --max-iter 80000
+
+Trains ONE decoder per invocation (as the reference does; run once per
+relu target). Uses the async device prefetcher, optional multi-chip
+data parallelism (--data-parallel), periodic npz checkpoints with
+resume, and JSONL metric logs (TensorBoard-free observability).
+``--synthetic`` trains on procedural images when no dataset is
+available (smoke/bringup).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from wct_tpu.models import vgg
+from wct_tpu.parallel import mesh as mesh_lib
+from wct_tpu.train import (
+    DevicePrefetcher,
+    TrainConfig,
+    TrainState,
+    batch_generator,
+    checkpoint,
+    init_train_state,
+    make_optimizer,
+    make_sharded_train_step,
+    synthetic_batches,
+    train_step,
+)
+from wct_tpu.utils import images
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--relu-target", default="relu4_1")
+    p.add_argument("--content-path", default=None, help="training image dir")
+    p.add_argument("--val-path", default=None, help="validation image dir")
+    p.add_argument("--synthetic", action="store_true",
+                   help="procedural training images (no dataset needed)")
+    p.add_argument("--encoder-weights", default=None,
+                   help="npz with encoder params (or bundle with 'encoder'); "
+                        "omit for random encoder (smoke test)")
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--crop-size", type=int, default=256)
+    p.add_argument("--learning-rate", type=float, default=1e-4)
+    p.add_argument("--lr-decay", type=float, default=5e-5)
+    p.add_argument("--max-iter", type=int, default=160_000)
+    p.add_argument("--save-iter", type=int, default=5_000)
+    p.add_argument("--summary-iter", type=int, default=100)
+    p.add_argument("--pixel-weight", type=float, default=1.0)
+    p.add_argument("--feature-weight", type=float, default=1.0)
+    p.add_argument("--tv-weight", type=float, default=0.0)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the batch over all local devices")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def _load_encoder(args) -> dict:
+    if args.encoder_weights:
+        tree = checkpoint.load_pytree(args.encoder_weights)
+        return tree["encoder"] if "encoder" in tree else tree
+    print("[train] NOTE: random encoder weights (smoke test)")
+    return vgg.init_encoder_params(jax.random.PRNGKey(args.seed))
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    cfg = TrainConfig(
+        relu_target=args.relu_target,
+        batch_size=args.batch_size,
+        learning_rate=args.learning_rate,
+        lr_decay=args.lr_decay,
+        pixel_weight=args.pixel_weight,
+        feature_weight=args.feature_weight,
+        tv_weight=args.tv_weight,
+        crop_size=args.crop_size,
+        max_iter=args.max_iter,
+        save_iter=args.save_iter,
+        summary_iter=args.summary_iter,
+        compute_dtype=args.dtype,
+    )
+    ckpt_dir = Path(args.checkpoint_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    enc_params = _load_encoder(args)
+
+    state = init_train_state(jax.random.PRNGKey(args.seed + 1), cfg)
+    start_step = 0
+    latest = ckpt_dir / "state_latest.npz"
+    if args.resume and latest.exists():
+        tree = checkpoint.load_pytree(latest)
+        state = TrainState(
+            params=tree["params"], opt_state=state.opt_state, step=tree["step"]
+        )
+        # Rebuild opt state from saved moments when present.
+        if "opt_state" in tree:
+            state = TrainState(
+                params=tree["params"],
+                opt_state=jax.tree.unflatten(
+                    jax.tree.structure(make_optimizer(cfg).init(tree["params"])),
+                    jax.tree.leaves(tree["opt_state"]),
+                ),
+                step=tree["step"],
+            )
+        start_step = int(state.step)
+        print(f"[train] resumed from {latest} at step {start_step}")
+
+    if args.synthetic or not args.content_path:
+        if not args.synthetic:
+            print("[train] NOTE: no --content-path; using synthetic images")
+        batches = synthetic_batches(cfg.batch_size, cfg.crop_size, args.seed)
+    else:
+        paths = images.get_files(args.content_path)
+        print(f"[train] {len(paths)} training images")
+        batches = batch_generator(paths, cfg.batch_size, cfg.crop_size, args.seed)
+
+    if args.data_parallel and len(jax.devices()) > 1:
+        mesh = mesh_lib.create_mesh()
+        step_fn = make_sharded_train_step(mesh, cfg)
+        sharding = mesh_lib.batch_sharding(mesh)
+        print(f"[train] data-parallel over {len(mesh.devices)} devices")
+    else:
+        step_fn = lambda s, e, b: train_step(s, e, b, cfg)
+        sharding = None
+
+    prefetch = DevicePrefetcher(batches, depth=2, sharding=sharding)
+    log_file = (ckpt_dir / "metrics.jsonl").open("a")
+    t0 = time.time()
+    for batch in prefetch:
+        state, metrics = step_fn(state, enc_params, batch)
+        step = int(state.step)
+        if step % cfg.summary_iter == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            m["step"] = step
+            m["img_per_sec"] = (
+                cfg.batch_size * cfg.summary_iter / max(time.time() - t0, 1e-9)
+            )
+            t0 = time.time()
+            log_file.write(json.dumps(m) + "\n")
+            log_file.flush()
+            print(
+                f"step {step}: loss {m['loss']:.4f} "
+                f"(pixel {m['pixel']:.4f}, feature {m['feature']:.4f}) "
+                f"{m['img_per_sec']:.1f} img/s"
+            )
+        if step % cfg.save_iter == 0 or step >= cfg.max_iter:
+            checkpoint.save_pytree(
+                latest,
+                {
+                    "params": state.params,
+                    "opt_state": state.opt_state,
+                    "step": state.step,
+                },
+            )
+            checkpoint.save_pytree(
+                ckpt_dir / f"decoder_{cfg.relu_target}.npz", state.params
+            )
+        if step >= cfg.max_iter:
+            break
+    print(f"[train] done at step {int(state.step)}; decoder saved to {ckpt_dir}")
+
+
+if __name__ == "__main__":
+    main()
