@@ -1,0 +1,174 @@
+"""End-to-end fidelity oracle: the full cascade vs a pure-numpy reimplementation.
+
+SURVEY.md §4.3: the reference's stylize.py math re-expressed in numpy
+(reflect-pad convs, maxpool, NN-upsample, WCT per §A.2, per-level
+decode, clip) run with the SAME weights as the jax pipeline, compared
+within eigensolver tolerance. This is the strongest parity evidence
+available without the reference's pretrained weights: every operator
+and the cascade wiring are pinned, so once real VGG weights exist only
+the weight files change.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wct_tpu.models import cascade, decoder as dec_lib, vgg
+
+# ---------------------------------------------------------------------------
+# numpy reference implementation (independent of wct_tpu.ops)
+# ---------------------------------------------------------------------------
+
+
+def conv2d_reflect_np(x, w, b):
+    """x [H,W,Cin], w [kh,kw,Cin,Cout] HWIO, reflect pad, valid conv."""
+    kh = w.shape[0]
+    p = (kh - 1) // 2
+    if p:
+        x = np.pad(x, ((p, p), (p, p), (0, 0)), mode="reflect")
+    h, wd = x.shape[0] - kh + 1, x.shape[1] - kh + 1
+    out = np.zeros((h, wd, w.shape[3]), np.float64)
+    for di in range(kh):
+        for dj in range(kh):
+            out += np.tensordot(
+                x[di : di + h, dj : dj + wd, :].astype(np.float64),
+                w[di, dj].astype(np.float64),
+                axes=([2], [0]),
+            )
+    return out + b.astype(np.float64)
+
+
+def maxpool2_np(x):
+    h, w, c = x.shape
+    return x[: h // 2 * 2, : w // 2 * 2].reshape(h // 2, 2, w // 2, 2, c).max((1, 3))
+
+
+def upsample2_np(x):
+    return np.repeat(np.repeat(x, 2, axis=0), 2, axis=1)
+
+
+def encode_np(enc_params, img, target):
+    x = img.astype(np.float64)
+    for spec in vgg.layers_to(target):
+        if spec[0] == "pool":
+            x = maxpool2_np(x)
+            continue
+        _, name, *_ = spec
+        p = enc_params[name]
+        x = conv2d_reflect_np(x, np.asarray(p["w"]), np.asarray(p["b"]))
+        if spec[0] == "conv":
+            x = np.maximum(x, 0.0)
+    return x
+
+
+def decode_np(dec_params, f, target):
+    layers = dec_lib.decoder_layers(target)
+    x = f
+    for i, spec in enumerate(layers):
+        if spec[0] == "upsample":
+            x = upsample2_np(x)
+            continue
+        _, name, *_ = spec
+        p = dec_params[name]
+        x = conv2d_reflect_np(x, np.asarray(p["w"]), np.asarray(p["b"]))
+        if i != len(layers) - 1:
+            x = np.maximum(x, 0.0)
+    return x
+
+
+def wct_np(fc, fs, alpha, eps=1e-8, trunc=1e-5):
+    c = fc.shape[-1]
+    fc_flat = fc.reshape(-1, c)
+    fs_flat = fs.reshape(-1, c)
+
+    def sym_pow(flat, power):
+        mu = flat.mean(0)
+        centered = flat - mu
+        cov = centered.T @ centered / (flat.shape[0] - 1) + eps * np.eye(c)
+        s, u = np.linalg.eigh(cov)
+        s_pow = np.where(s > trunc, np.sign(s) * np.abs(s) ** power, 0.0)
+        return (u * s_pow) @ u.T, mu
+
+    w_c, mu_c = sym_pow(fc_flat, -0.5)
+    k_s, mu_s = sym_pow(fs_flat, +0.5)
+    colored = (fc_flat - mu_c) @ w_c @ k_s + mu_s
+    return (alpha * colored + (1 - alpha) * fc_flat).reshape(fc.shape)
+
+
+def cascade_np(params, content, style, alpha, targets):
+    img = content.astype(np.float64)
+    for t in targets:
+        fc = encode_np(params["encoder"], img, t)
+        fs = encode_np(params["encoder"], style, t)
+        f = wct_np(fc, fs, alpha)
+        img = np.clip(decode_np(params["decoders"][t], f, t), 0.0, 1.0)
+    return img
+
+
+# ---------------------------------------------------------------------------
+# parity tests
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = cascade.init_params(jax.random.PRNGKey(3))
+    # Random He-init decoders saturate the [0,1] clip (most pixels land
+    # exactly on the boundary), where an fp-level eigh difference flips
+    # a pixel by 1.0 and the next cascade level amplifies it
+    # chaotically. Real trained decoders emit in-range images; emulate
+    # that by scaling each decoder's FINAL conv into a mid-range output
+    # so the multi-level comparison measures numerics, not clip chaos.
+    for t, dec in params["decoders"].items():
+        last = [s[1] for s in dec_lib.decoder_layers(t) if s[0] == "conv"][-1]
+        dec[last]["w"] = dec[last]["w"] * 0.02
+        dec[last]["b"] = dec[last]["b"] + 0.5
+    rng = np.random.default_rng(9)
+    content = rng.random((32, 32, 3)).astype(np.float32)
+    style = rng.random((32, 32, 3)).astype(np.float32)
+    return params, content, style
+
+
+def test_encoder_matches_numpy(setup):
+    params, content, _ = setup
+    for target in ("relu1_1", "relu3_1"):
+        ours = np.asarray(
+            vgg.encode(params["encoder"], jnp.asarray(content)[None], target)
+        )[0]
+        ref = encode_np(params["encoder"], content, target)
+        np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_decoder_matches_numpy(setup):
+    params, content, _ = setup
+    target = "relu2_1"
+    f = np.asarray(
+        vgg.encode(params["encoder"], jnp.asarray(content)[None], target)
+    )[0]
+    ours = np.asarray(
+        dec_lib.decode(params["decoders"][target], jnp.asarray(f)[None], target)
+    )[0]
+    ref = decode_np(params["decoders"][target], f.astype(np.float64), target)
+    np.testing.assert_allclose(ours, ref, atol=2e-2, rtol=1e-2)
+
+
+@pytest.mark.parametrize("targets", [("relu3_1",), ("relu3_1", "relu2_1", "relu1_1")])
+def test_full_cascade_matches_numpy_oracle(setup, targets):
+    params, content, style = setup
+    cfg = cascade.CascadeConfig(relu_targets=targets)
+    ours = np.asarray(
+        cascade.stylize_pair(params, jnp.asarray(content), jnp.asarray(style), 0.8, cfg)
+    )
+    ref = cascade_np(params, content, style, 0.8, targets)
+    # Eigensolver tolerance: jax eigh vs numpy eigh differ at ~1e-5;
+    # each random He-init conv roughly doubles a perturbation, so a
+    # 3-level cascade (~20 convs) amplifies that to ~1e-2 in the worst
+    # pixels. The strict parity evidence is the per-op and
+    # single-level tests; this multi-level test pins the WIRING.
+    mismatch = np.abs(ours - ref)
+    tol = 1e-2 if len(targets) == 1 else 1e-1
+    assert np.quantile(mismatch, 0.99) < tol, (
+        f"99% quantile {np.quantile(mismatch, 0.99)}"
+    )
+    assert mismatch.mean() < tol / 10, f"mean {mismatch.mean()}"
