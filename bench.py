@@ -69,7 +69,7 @@ def throughput(fn, args_list, n_rounds=3) -> float:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--size", type=int, default=512)
-    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--n-batches", type=int, default=8)
     parser.add_argument("--fidelity-too", action="store_true",
                         help="also measure the f32+eigh fidelity path")

@@ -1,0 +1,156 @@
+"""Benchmark harness for the five BASELINE.json configs.
+
+    python bench/configs.py [--quick]
+
+Emits one JSON object per config (to stdout, one per line) plus a
+summary; the headline single-number bench remains ``bench.py`` at the
+repo root (the driver contract). Configs (BASELINE.json):
+
+1. Single-level WCT at relu3_1 — one 512×512 pair
+2. Full 5-level cascade at 512px, single image, alpha=0.6
+3. Style interpolation — 2 styles, weight + alpha sweep, one content
+4. Batched high-res throughput — batch-8 1024px, fixed style
+5. Video streaming — 720p frames with persistent style cache
+
+All timings sync via single-element readback (block_until_ready is a
+no-op through the axon tunnel; see bench.py notes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(out):
+    _ = float(jax.tree.leaves(out)[0].ravel()[0])
+
+
+def pipelined_fps(fn, inputs, n_rounds=3):
+    _sync(fn(inputs[0]))
+    frames = sum(x.shape[0] for x in inputs)
+    rates = []
+    for _ in range(n_rounds):
+        t0 = time.perf_counter()
+        out = None
+        for x in inputs:
+            out = fn(x)
+        _sync(out)
+        rates.append(frames / (time.perf_counter() - t0))
+    return float(np.median(rates))
+
+
+def latency_ms(fn, x, n=5):
+    _sync(fn(x))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        _sync(fn(x))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) * 1000
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true", help="fewer rounds")
+    parser.add_argument("--dtype", default="bfloat16")
+    parser.add_argument("--method", default="newton_schulz")
+    args = parser.parse_args()
+    rounds = 2 if args.quick else 3
+
+    from wct_tpu.models import cascade
+
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)
+    emit = lambda d: print(json.dumps(d), flush=True)
+    rng = np.random.default_rng(0)
+    params = cascade.init_params(jax.random.PRNGKey(0))
+    results = []
+
+    def record(name, **kw):
+        d = {"config": name, **kw}
+        results.append(d)
+        emit(d)
+
+    kw = dict(compute_dtype=args.dtype, method=args.method)
+
+    # ---- config 1: single-level relu3_1, one 512px pair ----
+    cfg = cascade.CascadeConfig(relu_targets=("relu3_1",), **kw)
+    style = jnp.asarray(rng.random((512, 512, 3), np.float32))
+    cache = cascade.precompute_style(params["encoder"], style, cfg)
+    c1 = jnp.asarray(rng.random((1, 512, 512, 3), np.float32))
+    fn = lambda x: cascade.stylize(params, x, cache, 0.6, cfg)
+    record("1_single_level_relu3_1_512px", latency_ms=latency_ms(fn, c1),
+           fps=pipelined_fps(fn, [c1] * 8, rounds))
+
+    # ---- config 2: full 5-level cascade, 512px, alpha=0.6 ----
+    cfg = cascade.CascadeConfig(**kw)
+    cache = cascade.precompute_style(params["encoder"], style, cfg)
+    fn = lambda x: cascade.stylize(params, x, cache, 0.6, cfg)
+    record("2_full_cascade_512px", latency_ms=latency_ms(fn, c1),
+           fps=pipelined_fps(fn, [c1] * 8, rounds))
+
+    # ---- config 3: style interpolation, weight + alpha sweep ----
+    # stylize_interp fuses the stat blend + cascade into one dispatch;
+    # weights/alpha are traced, so the sweep never recompiles.
+    style2 = jnp.asarray(rng.random((512, 512, 3), np.float32))
+    caches = [cache, cascade.precompute_style(params["encoder"], style2, cfg)]
+    sweeps = [(w, a) for w in (0.0, 0.25, 0.5, 0.75, 1.0) for a in (0.4, 0.8)]
+    _sync(cascade.stylize_interp(
+        params, c1, caches, jnp.asarray([0.5, 0.5], jnp.float32), 0.6, cfg
+    ))
+    t0 = time.perf_counter()
+    out = None
+    for w, a in sweeps:
+        out = cascade.stylize_interp(
+            params, c1, caches, jnp.asarray([w, 1 - w], jnp.float32), a, cfg
+        )
+    _sync(out)
+    dt = time.perf_counter() - t0
+    record("3_interpolation_sweep_512px", frames=len(sweeps),
+           fps=len(sweeps) / dt)
+
+    # ---- config 4: batch-8 1024px throughput ----
+    cfg = cascade.CascadeConfig(**kw)
+    style_hr = jnp.asarray(rng.random((1024, 1024, 3), np.float32))
+    cache_hr = cascade.precompute_style(params["encoder"], style_hr, cfg)
+    b8 = [
+        jnp.asarray(rng.random((8, 1024, 1024, 3), np.float32))
+        for _ in range(2 if args.quick else 4)
+    ]
+    fn = lambda x: cascade.stylize(params, x, cache_hr, 0.6, cfg)
+    record("4_batch8_1024px", fps=pipelined_fps(fn, b8, rounds))
+
+    # ---- config 5: 720p streaming with persistent style cache ----
+    cfg = cascade.CascadeConfig(**kw)
+    style_v = jnp.asarray(rng.random((720, 720, 3), np.float32))
+    cache_v = cascade.precompute_style(params["encoder"], style_v, cfg)
+    frames = [
+        jnp.asarray(rng.random((1, 720, 1280, 3), np.float32)) for _ in range(8)
+    ]
+    fn = lambda x: cascade.stylize(params, x, cache_v, 0.6, cfg)
+    # style-switch cost: how long to encode + cache a new style.
+    # Warm the sync slice first (its first use compiles a tiny program,
+    # which would otherwise dominate the measurement).
+    _sync(cache_v["relu5_1"].stats.kernel)
+    t0 = time.perf_counter()
+    _sync(
+        cascade.precompute_style(params["encoder"], style_v, cfg)["relu5_1"].stats.kernel
+    )
+    style_switch_ms = (time.perf_counter() - t0) * 1000
+    record("5_stream_720p", fps=pipelined_fps(fn, frames, rounds),
+           style_switch_ms=style_switch_ms)
+
+    log("summary: " + json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

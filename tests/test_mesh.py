@@ -41,6 +41,50 @@ def test_sharded_matches_single_device(setup):
     )
 
 
+def test_spatial_sharding_conv_stack_is_exact(setup):
+    """Halo exchange for spatially-sharded reflect-pad convs is fp-exact.
+
+    (Bit-exact at production shard sizes; at tiny shard sizes XLA may
+    pick a different conv algorithm, leaving ~1e-4 fp noise.)
+    """
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wct_tpu.models import vgg
+
+    params, content, _, _ = setup
+    mesh = mesh_lib.create_mesh(4, axis_name="sp")
+    rep = NamedSharding(mesh, P())
+    spat = NamedSharding(mesh, P(None, "sp"))
+    enc = jax.jit(
+        lambda p, x: vgg.encode(p, x, "relu2_1"),
+        in_shardings=(rep, spat),
+        out_shardings=spat,
+    )
+    f_sp = enc(params["encoder"], jnp.asarray(content[:1]))
+    f_rep = vgg.encode(params["encoder"], jnp.asarray(content[:1]), "relu2_1")
+    np.testing.assert_allclose(
+        np.asarray(f_sp), np.asarray(f_rep), rtol=1e-4, atol=1e-3
+    )
+
+
+def test_spatial_sharded_cascade_runs_and_is_deterministic(setup):
+    params, content, cache, cfg = setup
+    mesh = mesh_lib.create_mesh(4, axis_name="sp")
+    x = jnp.asarray(content[:1])
+    out1 = mesh_lib.stylize_spatial(params, x, cache, 0.7, cfg, mesh)
+    out2 = mesh_lib.stylize_spatial(params, x, cache, 0.7, cfg, mesh)
+    assert out1.shape == (1, SIZE, SIZE, 3)
+    assert np.all(np.isfinite(np.asarray(out1)))
+    # Deterministic for a fixed mesh (bitwise parity with the UNSHARDED
+    # path is not guaranteed — Gram all-reduce changes f32 summation
+    # order at the WCT truncation knife-edge; see stylize_spatial docs).
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    h_shards = {s.data.shape for s in out1.addressable_shards}
+    assert h_shards == {(1, SIZE // 4, SIZE, 3)}
+
+
 def test_output_sharding_is_batch_split(setup):
     params, content, cache, cfg = setup
     mesh = mesh_lib.create_mesh()

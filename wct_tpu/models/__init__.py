@@ -9,5 +9,6 @@ from wct_tpu.models.cascade import (  # noqa: F401
     precompute_style,
     stylize,
     stylize_fn,
+    stylize_interp,
     stylize_pair,
 )

@@ -92,6 +92,7 @@ def init_params(key: jax.Array, targets: tuple[str, ...] = DEFAULT_TARGETS) -> d
     }
 
 
+@partial(jax.jit, static_argnames=("cfg",))
 def precompute_style(
     encoder_params: dict, style_img: jax.Array, cfg: CascadeConfig
 ) -> StyleCache:
@@ -99,6 +100,8 @@ def precompute_style(
 
     One trunk sweep (``encode_multi``) feeds every cascade level — the
     reference re-encodes the style through five truncated encoders.
+    Jitted as ONE program: a style switch is a single device dispatch
+    (this is the hot path of live style switching, BASELINE config 5).
     """
     feats = vgg.encode_multi(
         encoder_params, style_img[None].astype(cfg.dtype), cfg.relu_targets
@@ -121,6 +124,7 @@ def precompute_style(
     return cache
 
 
+@partial(jax.jit, static_argnames=("cfg",))
 def interpolate_style_caches(
     caches: list[StyleCache], weights: jax.Array, cfg: CascadeConfig
 ) -> StyleCache:
@@ -129,7 +133,8 @@ def interpolate_style_caches(
     WCT coloring and AdaIN are linear in their statistics, so blending
     cached stats ≡ blending colored features (SURVEY.md §A.2
     interpolation). swap5's raw features are not blendable; the swap
-    level falls back to the first style's features.
+    level falls back to the first style's features. Jitted (weights
+    traced): a weight change is one cheap dispatch, never a recompile.
     """
     out: StyleCache = {}
     w = weights
@@ -216,6 +221,26 @@ def stylize(
 ) -> jax.Array:
     """jit entry: one compiled graph per (cfg, shapes)."""
     return stylize_fn(params, content, style_cache, alpha, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def stylize_interp(
+    params: dict,
+    content: jax.Array,
+    caches: list[StyleCache],
+    weights: jax.Array,
+    alpha: jax.Array | float,
+    cfg: CascadeConfig,
+) -> jax.Array:
+    """Multi-style interpolation + cascade fused into ONE program.
+
+    For weight/alpha sweeps (BASELINE config 3): the stat blend and the
+    full cascade run in a single dispatch, so sweeping (weights, alpha)
+    costs one compiled call per step — both are traced scalars/vectors,
+    never a recompile.
+    """
+    cache = interpolate_style_caches(caches, weights, cfg)
+    return stylize_fn(params, content, cache, alpha, cfg)
 
 
 def stylize_pair(

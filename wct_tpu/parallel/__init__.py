@@ -6,4 +6,5 @@ from wct_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
     stylize_sharded,
+    stylize_spatial,
 )

@@ -76,3 +76,40 @@ def stylize_sharded(
         out_shardings=bsharding,
     )
     return fn(params, content, style_cache, jnp.asarray(alpha, jnp.float32))
+
+
+def stylize_spatial(
+    params: dict,
+    content: jax.Array,
+    style_cache: cascade_lib.StyleCache,
+    alpha,
+    cfg: cascade_lib.CascadeConfig,
+    mesh: Mesh,
+    axis_name: str = "sp",
+) -> jax.Array:
+    """Spatially-sharded cascade: image HEIGHT splits over the mesh.
+
+    The context/sequence-parallel analogue for a convnet (SURVEY.md §5,
+    long-context row): for images too large for one chip's HBM, shard
+    the H dimension; XLA's SPMD partitioner inserts halo exchanges for
+    every reflect-pad conv and pool (fp-exact vs replicated for the
+    conv stack), and all-reduces the per-image Gram statistics over
+    ICI.
+
+    Caveat (documented, inherent to the reference algorithm): the Gram
+    all-reduce changes float32 summation order, and the WCT's hard
+    eigenvalue truncation at ``trunc`` is discontinuous — a
+    rank-deficient covariance whose null eigenvalues sit near the
+    threshold can flip modes vs the single-device result. Outputs are
+    valid stylizations and deterministic for a fixed mesh, but not
+    bitwise-comparable to the unsharded path; use DP
+    (``stylize_sharded``) when bitwise reproducibility matters.
+    """
+    rep = replicated(mesh)
+    spat = NamedSharding(mesh, P(None, axis_name))
+    fn = jax.jit(
+        partial(cascade_lib.stylize_fn, cfg=cfg),
+        in_shardings=(rep, spat, rep, rep),
+        out_shardings=spat,
+    )
+    return fn(params, content, style_cache, jnp.asarray(alpha, jnp.float32))

@@ -1,0 +1,78 @@
+"""Observability: synced stage timers + optional device profiler traces.
+
+The reference's tracing story is ``time.time()`` around ``sess.run``
+(SURVEY.md §5). Here:
+
+- ``device_sync`` — a sync that actually works through the axon TPU
+  tunnel (``block_until_ready`` is a no-op there): reads ONE element.
+- ``StageTimer`` — named wall-clock stages with proper device sync,
+  for per-stage breakdowns (host decode / H2D / compiled step / D2H).
+- ``trace`` — context manager around ``jax.profiler`` for perfetto
+  traces when the backend supports it (gated, never fatal).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+
+import jax
+import numpy as np
+
+
+def device_sync(out=None) -> None:
+    """Force real completion of all enqueued work up to ``out``.
+
+    TPU programs execute in order, so one element of the most recent
+    output being readable implies everything before it finished.
+    """
+    if out is not None:
+        leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "ravel")]
+        if leaves:
+            _ = np.asarray(leaves[0].ravel()[0])
+
+
+class StageTimer:
+    """Accumulating named stage timer with device-synced boundaries."""
+
+    def __init__(self):
+        self.totals: dict[str, float] = defaultdict(float)
+        self.counts: dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def stage(self, name: str, sync_on=None):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            device_sync(sync_on)
+            self.totals[name] += time.perf_counter() - t0
+            self.counts[name] += 1
+
+    def report(self) -> str:
+        lines = []
+        for name, total in sorted(self.totals.items(), key=lambda kv: -kv[1]):
+            n = self.counts[name]
+            lines.append(
+                f"{name}: {total * 1000:.1f} ms total, "
+                f"{total / n * 1000:.2f} ms/call ×{n}"
+            )
+        return "\n".join(lines)
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """jax.profiler trace if the backend supports it; no-op otherwise."""
+    try:
+        jax.profiler.start_trace(log_dir)
+        started = True
+    except Exception as e:  # noqa: BLE001 — profiling must never kill a run
+        print(f"[profiling] trace unavailable: {e}")
+        started = False
+    try:
+        yield
+    finally:
+        if started:
+            with contextlib.suppress(Exception):
+                jax.profiler.stop_trace()
