@@ -162,6 +162,65 @@ def test_trained_decoder_loads_into_stylize(tmp_path, rng):
     assert len(images.get_files(o_dir)) == 1
 
 
+def test_stream_cli_offline_video(tmp_path, rng):
+    """Offline video conversion: every frame processed, batched."""
+    cv2 = pytest.importorskip("cv2")
+    from wct_tpu.cli import stream as cli
+
+    src = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"mp4v"), 10, (48, 32))
+    for _ in range(7):
+        w.write((rng.random((32, 48, 3)) * 255).astype(np.uint8))
+    w.release()
+
+    s_dir = tmp_path / "style"
+    s_dir.mkdir()
+    images.save_img(s_dir / "s.png", rng.random((32, 32, 3)))
+    out = str(tmp_path / "out.mp4")
+    cli.main(
+        [
+            "--video", src,
+            "--out", out,
+            "--style-path", str(s_dir),
+            "--style-size", "32",
+            "--width", "48",
+            "--height", "32",
+            "--relu-targets", "relu1_1",
+            "--no-display",
+            "--batch-size", "4",
+        ]
+    )
+    cap = cv2.VideoCapture(out)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 7  # no frames dropped in offline mode
+
+
+def test_stylize_cli_batching_groups_shapes(tmp_path, rng):
+    from wct_tpu.cli import stylize as cli
+
+    c_dir = tmp_path / "content"
+    s_dir = tmp_path / "style"
+    c_dir.mkdir()
+    s_dir.mkdir()
+    for i in range(3):
+        images.save_img(c_dir / f"a{i}.png", rng.random((32, 32, 3)))
+    images.save_img(c_dir / "wide.png", rng.random((32, 48, 3)))
+    images.save_img(s_dir / "s.png", rng.random((32, 32, 3)))
+    o_dir = tmp_path / "out"
+    cli.main(
+        [
+            "--content-path", str(c_dir),
+            "--style-path", str(s_dir),
+            "--out-path", str(o_dir),
+            "--relu-targets", "relu1_1",
+            "--batch-size", "2",
+        ]
+    )
+    assert len(images.get_files(o_dir)) == 4
+
+
 class TestStreamEngine:
     def test_process_frames_with_cached_style(self, rng):
         import jax

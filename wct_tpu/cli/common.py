@@ -8,12 +8,26 @@ front-ends parse through one flag builder and one loader.
 from __future__ import annotations
 
 import argparse
+import contextlib
+import os
 
 import jax
 import jax.numpy as jnp
 
 from wct_tpu.models import cascade
 from wct_tpu.train import checkpoint
+
+
+def enable_compile_cache(path: str | None = None) -> None:
+    """Persistent XLA compilation cache — the full cascade takes ~90 s
+    to compile on TPU; cached re-runs start instantly. Never fatal."""
+    cache_dir = path or os.environ.get(
+        "WCT_COMPILE_CACHE", os.path.expanduser("~/.cache/wct_tpu_xla")
+    )
+    with contextlib.suppress(Exception):
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def add_model_flags(p: argparse.ArgumentParser) -> None:

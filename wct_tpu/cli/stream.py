@@ -37,13 +37,55 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--interpolate", action="store_true",
                    help="sweep blend weights between the first two styles")
     p.add_argument("--max-frames", type=int, default=0, help="0 = unlimited")
+    p.add_argument("--batch-size", type=int, default=1,
+                   help=">1 batches frames for offline video throughput "
+                        "(adds latency; only sensible with --video)")
     return p.parse_args(argv)
+
+
+def _convert_video(args, engine, writer, cv2) -> None:
+    """Offline video → stylized video, batched (no frame dropping)."""
+    cap = cv2.VideoCapture(args.video)
+    if not cap.isOpened():
+        raise SystemExit(f"cannot open {args.video}")
+    n = 0
+    t0 = time.perf_counter()
+    batch: list[np.ndarray] = []
+
+    def flush():
+        nonlocal n
+        if not batch:
+            return
+        for out in engine.process_batch(batch):
+            if writer is not None:
+                writer.write(
+                    (np.clip(out, 0, 1) * 255).astype(np.uint8)[..., ::-1]
+                )
+        n += len(batch)
+        batch.clear()
+
+    while True:
+        ok, frame_bgr = cap.read()
+        if not ok:
+            break
+        batch.append(frame_bgr[..., ::-1].astype(np.float32) / 255.0)
+        if len(batch) >= max(args.batch_size, 1):
+            flush()
+        if args.max_frames and n + len(batch) >= args.max_frames:
+            break
+    flush()
+    cap.release()
+    if writer is not None:
+        writer.release()
+    dt = time.perf_counter() - t0
+    print(f"{n} frames in {dt:.1f}s = {n / max(dt, 1e-9):.1f} fps")
 
 
 def main(argv=None) -> None:
     args = parse_args(argv)
     import cv2
 
+    common.enable_compile_cache()
     cfg = common.config_from_args(args)
     params = common.load_params(args)
 
@@ -70,9 +112,6 @@ def main(argv=None) -> None:
         args.interpolate = False
         engine.set_style(styles[style_idx])
 
-    source = VideoSource(
-        args.video if args.video else args.source, args.width, args.height
-    ).start()
     writer = None
     if args.out:
         writer = cv2.VideoWriter(
@@ -81,6 +120,17 @@ def main(argv=None) -> None:
             args.fps,
             (args.width, args.height),
         )
+
+    if args.video and args.no_display:
+        # Offline file conversion: read EVERY frame sequentially (the
+        # live path's latest-frame mailbox drops frames by design) and
+        # batch them for throughput.
+        _convert_video(args, engine, writer, cv2)
+        return
+
+    source = VideoSource(
+        args.video if args.video else args.source, args.width, args.height
+    ).start()
 
     n = 0
     t_start = time.perf_counter()

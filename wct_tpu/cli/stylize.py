@@ -4,18 +4,18 @@
         --content-path c.jpg --style-path styles/ --out-path out/ \
         --alpha 0.8 --content-size 512 [--keep-colors] [--coral] ...
 
-Content × style cartesian product (file or directory each), per-style
-statistics cached and reused across all content images, one compiled
-graph per image shape. Timing printed per image (as the reference
-does) using a synced clock.
+Content × style cartesian product (file or directory each). Per-style
+statistics are cached and reused across all content images; same-shape
+content images are batched (``--batch-size``) so the TPU runs full
+batches (BASELINE config 4), one compiled graph per image shape.
 """
 
 from __future__ import annotations
 
 import argparse
-import itertools
 import os
 import time
+from collections import defaultdict
 from pathlib import Path
 
 import jax.numpy as jnp
@@ -38,10 +38,13 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="resize style shorter side (0 = keep)")
     p.add_argument("--crop-size", type=int, default=0,
                    help="center-crop content to this square (0 = off)")
+    p.add_argument("--batch-size", type=int, default=4,
+                   help="batch same-shaped content images per dispatch")
     p.add_argument("--keep-colors", action="store_true",
                    help="luminance-only transfer (reference --keep-colors)")
     p.add_argument("--coral", action="store_true",
-                   help="CORAL-match style colors to content first")
+                   help="CORAL-match style colors to content first "
+                        "(forces per-pair processing)")
     p.add_argument("--concat", action="store_true",
                    help="paste style thumbnail beside the output")
     p.add_argument("--random-crop-style", action="store_true",
@@ -65,20 +68,37 @@ def _prep_content(path: str, args) -> np.ndarray:
     return img
 
 
-def _prep_style(path: str, args, rng, content: np.ndarray) -> np.ndarray:
+def _prep_style(path: str, args, rng, content: np.ndarray | None) -> np.ndarray:
     img = images.get_img(path)
     if args.style_size:
         img = images.resize_to(img, args.style_size)
     if args.random_crop_style:
         side = min(img.shape[:2])
         img = images.random_crop(img, side, rng)
-    if args.coral:
+    if args.coral and content is not None:
         img = colors.coral_numpy(img, content)
     return img
 
 
+def _save_outputs(stylized_batch, contents, names, s_path, args, out_dir):
+    for out, content, name in zip(stylized_batch, contents, names):
+        out = np.asarray(out, dtype=np.float32)
+        if args.keep_colors:
+            out = colors.preserve_colors_np(content, out)
+        if args.concat and s_path is not None:
+            thumb = images.resize_exact(
+                images.get_img(s_path), out.shape[0], out.shape[0]
+            )
+            out = np.concatenate([out, thumb], axis=1)
+        s_name = Path(s_path).stem if s_path else "interp"
+        out_file = out_dir / f"{name}_{s_name}.png"
+        images.save_img(out_file, out)
+        print(out_file)
+
+
 def main(argv=None) -> None:
     args = parse_args(argv)
+    common.enable_compile_cache()
     cfg = common.config_from_args(args)
     params = common.load_params(args)
     out_dir = Path(args.out_path)
@@ -89,37 +109,54 @@ def main(argv=None) -> None:
     style_files = _listdir_or_file(args.style_path)
     print(f"{len(content_files)} content × {len(style_files)} style images")
 
-    if args.interp_weights is not None:
-        if len(args.interp_weights) != len(style_files):
-            raise SystemExit(
-                f"--interp-weights needs {len(style_files)} weights "
-                f"(one per style), got {len(args.interp_weights)}"
-            )
+    if args.interp_weights is not None and len(args.interp_weights) != len(
+        style_files
+    ):
+        raise SystemExit(
+            f"--interp-weights needs {len(style_files)} weights "
+            f"(one per style), got {len(args.interp_weights)}"
+        )
 
-    for c_path in content_files:
-        content = _prep_content(c_path, args)
-        c_dev = common.to_device_img(content)[None]
+    contents = [(Path(p).stem, _prep_content(p, args)) for p in content_files]
+    t_start = time.perf_counter()
+    n_out = 0
+
+    if args.coral:
+        # CORAL recolors the style per content image → per-pair path.
+        for name, content in contents:
+            c_dev = common.to_device_img(content)[None]
+            for s_path in style_files:
+                style = _prep_style(s_path, args, rng, content)
+                cache = cascade.precompute_style(
+                    params["encoder"], common.to_device_img(style), cfg
+                )
+                out = cascade.stylize(params, c_dev, cache, args.alpha, cfg)
+                _save_outputs(out, [content], [name], s_path, args, out_dir)
+                n_out += 1
+    else:
+        # Batch same-shaped content; one style-stat cache per style.
+        groups: dict[tuple, list[tuple[str, np.ndarray]]] = defaultdict(list)
+        for name, content in contents:
+            groups[content.shape].append((name, content))
 
         if args.interp_weights is not None:
             caches = [
                 cascade.precompute_style(
                     params["encoder"],
-                    common.to_device_img(_prep_style(s, args, rng, content)),
+                    common.to_device_img(_prep_style(s, args, rng, None)),
                     cfg,
                 )
                 for s in style_files
             ]
-            cache = cascade.interpolate_style_caches(
-                caches, jnp.asarray(args.interp_weights, jnp.float32), cfg
-            )
-            pairs = [(None, cache)]
+            weights = jnp.asarray(args.interp_weights, jnp.float32)
+            pairs = [(None, cascade.interpolate_style_caches(caches, weights, cfg))]
         else:
             pairs = [
                 (
                     s_path,
                     cascade.precompute_style(
                         params["encoder"],
-                        common.to_device_img(_prep_style(s_path, args, rng, content)),
+                        common.to_device_img(_prep_style(s_path, args, rng, None)),
                         cfg,
                     ),
                 )
@@ -127,23 +164,25 @@ def main(argv=None) -> None:
             ]
 
         for s_path, cache in pairs:
-            t0 = time.perf_counter()
-            out = cascade.stylize(params, c_dev, cache, args.alpha, cfg)
-            stylized = np.asarray(out[0], dtype=np.float32)
-            dt = time.perf_counter() - t0
+            for group in groups.values():
+                for i in range(0, len(group), args.batch_size):
+                    chunk = group[i : i + args.batch_size]
+                    batch = jnp.asarray(
+                        np.stack([c for _, c in chunk]), jnp.float32
+                    )
+                    out = cascade.stylize(params, batch, cache, args.alpha, cfg)
+                    _save_outputs(
+                        out,
+                        [c for _, c in chunk],
+                        [n for n, _ in chunk],
+                        s_path,
+                        args,
+                        out_dir,
+                    )
+                    n_out += len(chunk)
 
-            if args.keep_colors:
-                stylized = colors.preserve_colors_np(content, stylized)
-            if args.concat and s_path is not None:
-                thumb = images.resize_exact(
-                    images.get_img(s_path), stylized.shape[0], stylized.shape[0]
-                )
-                stylized = np.concatenate([stylized, thumb], axis=1)
-
-            s_name = Path(s_path).stem if s_path else "interp"
-            out_file = out_dir / f"{Path(c_path).stem}_{s_name}.png"
-            images.save_img(out_file, stylized)
-            print(f"{out_file}  ({dt * 1000:.0f} ms)")
+    dt = time.perf_counter() - t_start
+    print(f"{n_out} outputs in {dt:.1f}s ({n_out / max(dt, 1e-9):.2f} img/s)")
 
 
 if __name__ == "__main__":

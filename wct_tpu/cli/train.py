@@ -78,6 +78,9 @@ def _load_encoder(args) -> dict:
 
 def main(argv=None) -> None:
     args = parse_args(argv)
+    from wct_tpu.cli import common
+
+    common.enable_compile_cache()
     cfg = TrainConfig(
         relu_target=args.relu_target,
         batch_size=args.batch_size,

@@ -134,6 +134,30 @@ class StreamStylizer:
             self._caches, jnp.asarray(weights, jnp.float32), self.cfg
         )
 
+    # -- batched offline path (video files) --
+    def process_batch(self, frames_rgb: list[np.ndarray]) -> list[np.ndarray]:
+        """Stylize N frames in one dispatch (offline video throughput)."""
+        if self._cache is None:
+            raise RuntimeError("no style set")
+        sized = [
+            f if f.shape[:2] == (self.height, self.width)
+            else img_utils.resize_exact(f, self.height, self.width)
+            for f in frames_rgb
+        ]
+        out = cascade.stylize(
+            self.params,
+            jnp.asarray(np.stack(sized), jnp.float32),
+            self._cache,
+            self.alpha,
+            self.cfg,
+        )
+        outs = [np.asarray(o, dtype=np.float32) for o in out]
+        if self.keep_colors:
+            outs = [
+                color_utils.preserve_colors_np(f, o) for f, o in zip(sized, outs)
+            ]
+        return outs
+
     # -- per-frame hot path --
     def process(self, frame_rgb: np.ndarray) -> np.ndarray:
         """Stylize one RGB float [0,1] frame (any size → fixed size)."""
