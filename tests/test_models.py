@@ -164,6 +164,18 @@ class TestCascade:
         out1 = cascade.stylize(params, jnp.asarray(content), c1, 1.0, cfg)
         np.testing.assert_allclose(np.asarray(out10), np.asarray(out1), atol=1e-5)
 
+    def test_config_validation(self):
+        with pytest.raises(ValueError, match="relu_targets"):
+            cascade.CascadeConfig(relu_targets=("relu9_9",))
+        with pytest.raises(ValueError, match="swap5"):
+            cascade.CascadeConfig(relu_targets=("relu3_1",), swap5=True)
+        with pytest.raises(ValueError, match="transform"):
+            cascade.CascadeConfig(transform="wavelet")
+        with pytest.raises(ValueError, match="duplicate"):
+            cascade.CascadeConfig(relu_targets=("relu1_1", "relu1_1"))
+        with pytest.raises(ValueError, match="passes"):
+            cascade.CascadeConfig(passes=0)
+
     def test_alpha_is_traced_no_recompile(self, params, imgs):
         content, style = imgs
         cfg = cascade.CascadeConfig(relu_targets=("relu1_1",))

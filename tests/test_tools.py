@@ -127,6 +127,52 @@ class TestConvertT7:
             convert_t7.t7_to_encoder_params(t7)
 
 
+class TestMakeBundle:
+    def test_end_to_end(self, tmp_path, rng):
+        import jax
+
+        from wct_tpu.tools import make_bundle
+        from wct_tpu.train import checkpoint
+
+        enc = vgg.init_encoder_params(jax.random.PRNGKey(0))
+        checkpoint.save_pytree(tmp_path / "enc.npz", {"encoder": enc})
+        d1 = dec_lib.init_decoder_params(jax.random.PRNGKey(1), "relu1_1")
+        d2 = dec_lib.init_decoder_params(jax.random.PRNGKey(2), "relu2_1")
+        checkpoint.save_pytree(tmp_path / "d1.npz", d1)
+        checkpoint.save_pytree(tmp_path / "d2.npz", {"params": d2})  # train-state form
+        out = tmp_path / "bundle.npz"
+        make_bundle.main(
+            [
+                "--encoder", str(tmp_path / "enc.npz"),
+                "--decoder", f"relu1_1={tmp_path / 'd1.npz'}",
+                "--decoder", f"relu2_1={tmp_path / 'd2.npz'}",
+                str(out),
+            ]
+        )
+        bundle = checkpoint.load_pytree(out)
+        assert set(bundle["decoders"]) == {"relu1_1", "relu2_1"}
+        assert "conv1_1" in bundle["encoder"]
+
+    def test_wrong_level_fails(self, tmp_path, rng):
+        import jax
+
+        from wct_tpu.tools import make_bundle
+        from wct_tpu.train import checkpoint
+
+        enc = vgg.init_encoder_params(jax.random.PRNGKey(0))
+        checkpoint.save_pytree(tmp_path / "enc.npz", {"encoder": enc})
+        d1 = dec_lib.init_decoder_params(jax.random.PRNGKey(1), "relu1_1")
+        checkpoint.save_pytree(tmp_path / "d1.npz", d1)
+        with pytest.raises(ValueError, match="missing conv"):
+            make_bundle.main(
+                [
+                    "--encoder", str(tmp_path / "enc.npz"),
+                    "--decoder", f"relu3_1={tmp_path / 'd1.npz'}",
+                    str(tmp_path / "b.npz"),
+                ]
+            )
+
+
 class TestConvertTFCkpt:
     def test_positional_mapping(self, rng):
         target = "relu2_1"

@@ -59,6 +59,29 @@ class CascadeConfig:
     method: wct_ops.Method = "eigh"
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
 
+    def __post_init__(self):
+        from wct_tpu.models import vgg  # local: avoid import cycle
+
+        bad = [t for t in self.relu_targets if t not in vgg.RELU_TARGETS]
+        if bad or not self.relu_targets:
+            raise ValueError(
+                f"invalid relu_targets {bad or self.relu_targets}; "
+                f"choose from {vgg.RELU_TARGETS}"
+            )
+        if len(set(self.relu_targets)) != len(self.relu_targets):
+            raise ValueError(f"duplicate relu_targets {self.relu_targets}")
+        if self.transform not in ("wct", "adain"):
+            raise ValueError(f"transform must be 'wct'|'adain', got {self.transform!r}")
+        if self.swap5 and "relu5_1" not in self.relu_targets:
+            raise ValueError(
+                "swap5=True but 'relu5_1' is not in relu_targets — the swap "
+                "level would never run"
+            )
+        if self.passes < 1:
+            raise ValueError(f"passes must be >= 1, got {self.passes}")
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"compute_dtype {self.compute_dtype!r}")
+
     @property
     def dtype(self):
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
