@@ -164,6 +164,17 @@ class TestCascade:
         out1 = cascade.stylize(params, jnp.asarray(content), c1, 1.0, cfg)
         np.testing.assert_allclose(np.asarray(out10), np.asarray(out1), atol=1e-5)
 
+    def test_non_multiple_sizes_preserved(self, params):
+        # 50x45 is not a multiple of 16: VALID pooling floor-halves, so
+        # without input padding the output would come back 48x32.
+        rng = np.random.default_rng(13)
+        content = rng.random((50, 45, 3)).astype(np.float32)
+        style = rng.random((40, 40, 3)).astype(np.float32)
+        out = cascade.stylize_pair(
+            params, jnp.asarray(content), jnp.asarray(style), 0.7
+        )
+        assert out.shape == (50, 45, 3)
+
     def test_config_validation(self):
         with pytest.raises(ValueError, match="relu_targets"):
             cascade.CascadeConfig(relu_targets=("relu9_9",))

@@ -105,3 +105,14 @@ def test_prefetcher_delivers_on_device():
     out = list(pf)
     assert len(out) == 3
     assert all(isinstance(b, jax.Array) for b in out)
+
+
+def test_prefetcher_propagates_producer_errors():
+    def bad_gen():
+        yield np.zeros((1, 4, 4, 3), np.float32)
+        raise ValueError("no training images found")
+
+    pf = DevicePrefetcher(bad_gen(), depth=2)
+    next(pf)
+    with pytest.raises(ValueError, match="no training images"):
+        next(pf)

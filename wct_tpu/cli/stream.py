@@ -56,7 +56,10 @@ def _convert_video(args, engine, writer, cv2) -> None:
         nonlocal n
         if not batch:
             return
-        for out in engine.process_batch(batch):
+        # Pad a short final batch to the steady-state size so it reuses
+        # the compiled graph (pad only once full batches have run).
+        pad_to = args.batch_size if n > 0 else 0
+        for out in engine.process_batch(batch, pad_to=pad_to):
             if writer is not None:
                 writer.write(
                     (np.clip(out, 0, 1) * 255).astype(np.uint8)[..., ::-1]
@@ -72,6 +75,7 @@ def _convert_video(args, engine, writer, cv2) -> None:
         if len(batch) >= max(args.batch_size, 1):
             flush()
         if args.max_frames and n + len(batch) >= args.max_frames:
+            del batch[args.max_frames - n :]  # honor --max-frames exactly
             break
     flush()
     cap.release()
@@ -89,11 +93,7 @@ def main(argv=None) -> None:
     cfg = common.config_from_args(args)
     params = common.load_params(args)
 
-    style_files = (
-        images.get_files(args.style_path)
-        if not args.style_path.lower().endswith(images.IMG_EXTS)
-        else [args.style_path]
-    )
+    style_files = images.list_images(args.style_path)
     if not style_files:
         raise SystemExit(f"no style images under {args.style_path}")
     styles = [

@@ -167,13 +167,19 @@ def main(argv=None) -> None:
             for group in groups.values():
                 for i in range(0, len(group), args.batch_size):
                     chunk = group[i : i + args.batch_size]
+                    arrs = [c for _, c in chunk]
+                    # Pad a trailing partial chunk back up to batch_size
+                    # (repeat last image, outputs sliced off) so it
+                    # reuses the full batch's compiled graph instead of
+                    # paying a fresh cascade compile for the remainder.
+                    pad_n = (args.batch_size - len(chunk)) if i > 0 else 0
                     batch = jnp.asarray(
-                        np.stack([c for _, c in chunk]), jnp.float32
+                        np.stack(arrs + [arrs[-1]] * pad_n), jnp.float32
                     )
                     out = cascade.stylize(params, batch, cache, args.alpha, cfg)
                     _save_outputs(
-                        out,
-                        [c for _, c in chunk],
+                        out[: len(chunk)],
+                        arrs,
                         [n for n, _ in chunk],
                         s_path,
                         args,

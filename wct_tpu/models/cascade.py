@@ -133,16 +133,17 @@ def precompute_style(
     for level in cfg.relu_targets:
         fs = feats[level][0]
         stats = adain_st = fs_white = None
-        if cfg.transform == "adain":
-            adain_st = adain_ops.adain_stats(fs)
-        else:
-            stats = wct_ops.style_stats(fs, method=cfg.method)
         if cfg.swap5 and level == "relu5_1":
-            stats = stats or wct_ops.style_stats(fs, method=cfg.method)
-            w_s, mu_s = wct_ops.whitening_kernel(fs, method=cfg.method)
+            # One decomposition yields whitening + coloring kernels.
+            w_s, k_s, mu_s = wct_ops.whiten_color_kernels(fs, method=cfg.method)
+            stats = wct_ops.StyleStats(kernel=k_s, mean=mu_s)
             hs, ws, c = fs.shape
             flat = fs.reshape(hs * ws, c).astype(jnp.float32)
             fs_white = ((flat - mu_s[None, :]) @ w_s).reshape(hs, ws, c)
+        elif cfg.transform == "adain":
+            adain_st = adain_ops.adain_stats(fs)
+        else:
+            stats = wct_ops.style_stats(fs, method=cfg.method)
         cache[level] = LevelStyle(stats=stats, adain=adain_st, fs_white=fs_white)
     return cache
 
@@ -219,9 +220,23 @@ def stylize_fn(
     Level loop and pass loop are Python loops over STATIC config, so
     jit unrolls them into one flat graph (mixed feature resolutions are
     fine: every shape is static given the input shape).
+
+    Inputs whose H/W are not multiples of the deepest level's pool
+    factor are reflect-padded up front and cropped back at the end —
+    VALID pooling floor-halves but decoding exactly doubles, so without
+    this a 511px image would come back 496px (output size must equal
+    input size for keep-colors and video writers).
     """
     alpha = jnp.asarray(alpha, jnp.float32)
+    b, h, w, c = content.shape
+    mult = max(vgg.TARGET_SCALE[t] for t in cfg.relu_targets)
+    pad_h = (-h) % mult
+    pad_w = (-w) % mult
     img = content.astype(cfg.dtype)
+    if pad_h or pad_w:
+        # reflect needs pad < dim; fall back to edge for tiny inputs.
+        mode = "reflect" if (pad_h < h and pad_w < w) else "edge"
+        img = jnp.pad(img, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode=mode)
     for _ in range(cfg.passes):
         for level in cfg.relu_targets:
             feats = vgg.encode(params["encoder"], img, level)
@@ -231,7 +246,7 @@ def stylize_fn(
             )(feats)
             img = dec_lib.decode(params["decoders"][level], transformed, level)
             img = jnp.clip(img, 0.0, 1.0)
-    return img
+    return img[:, :h, :w, :]
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -151,11 +151,13 @@ def wct_style_swap(
     alpha-blend against original content features.
     """
     h, w, c = fc.shape
-    f32 = fc.astype(jnp.float32)
 
     w_c, mu_c = wct_ops.whitening_kernel(fc, eps=eps, trunc=trunc, method=method)
-    w_s, mu_s = wct_ops.whitening_kernel(fs, eps=eps, trunc=trunc, method=method)
-    stats = wct_ops.style_stats(fs, eps=eps, trunc=trunc, method=method)
+    # One Gram + one decomposition yields the style's whitening AND
+    # coloring kernels (this runs on the style-switch hot path).
+    w_s, k_s, mu_s = wct_ops.whiten_color_kernels(
+        fs, eps=eps, trunc=trunc, method=method
+    )
 
     fc_flat = fc.reshape(h * w, c).astype(jnp.float32)
     fc_white = ((fc_flat - mu_c[None, :]) @ w_c).reshape(h, w, c)
@@ -166,8 +168,8 @@ def wct_style_swap(
     swapped = style_swap(fc_white, fs_white, ss_alpha, patch_size, stride)
 
     colored = (
-        swapped.reshape(h * w, c) @ stats.kernel.astype(jnp.float32)
-        + stats.mean.astype(jnp.float32)[None, :]
+        swapped.reshape(h * w, c) @ k_s.astype(jnp.float32)
+        + mu_s.astype(jnp.float32)[None, :]
     )
     alpha = jnp.asarray(alpha, dtype=jnp.float32)
     out = alpha * colored + (1.0 - alpha) * fc_flat

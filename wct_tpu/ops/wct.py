@@ -144,6 +144,39 @@ def whitening_kernel(
     return _sqrt_kernels(cov, -0.5, trunc, method), mean
 
 
+def whiten_color_kernels(
+    f: jax.Array,
+    *,
+    eps: float = DEFAULT_EPS,
+    trunc: float = DEFAULT_TRUNC,
+    method: Method = "eigh",
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(whitening kernel, coloring kernel, mean) from ONE decomposition.
+
+    Style-swap needs BOTH cov^{−1/2} (to whiten the style features for
+    patch matching) and cov^{+1/2} (to recolor afterwards); computing
+    them via separate ``whitening_kernel`` + ``style_stats`` calls
+    would run the Gram and the eigendecomposition twice. Here eigh is
+    factored once (and Newton–Schulz already yields both powers in one
+    coupled iteration).
+    """
+    f_flat = _flatten_hwc(f)
+    cov, mean = _gram(f_flat)
+    cov = cov + eps * jnp.eye(cov.shape[0], dtype=cov.dtype)
+    if method == "eigh":
+        s, u = jnp.linalg.eigh(cov)
+        keep = s > trunc
+        inv = (u * jnp.where(keep, jnp.abs(s) ** -0.5, 0.0)[None, :]) @ u.T
+        sq = (u * jnp.where(keep, jnp.abs(s) ** 0.5, 0.0)[None, :]) @ u.T
+        return inv, sq, mean
+    from wct_tpu.ops import sqrtm
+
+    sq, inv = sqrtm.newton_schulz_sqrtm(
+        cov, use_pallas=(method == "newton_schulz_pallas")
+    )
+    return inv, sq, mean
+
+
 def style_stats(
     fs: jax.Array,
     *,

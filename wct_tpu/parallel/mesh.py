@@ -17,7 +17,7 @@ communication backend on TPU.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -68,14 +68,31 @@ def stylize_sharded(
     independent per-shard programs — linear scaling over ICI-connected
     chips without any code change to the cascade itself.
     """
-    bsharding = batch_sharding(mesh, axis_name)
-    rep = replicated(mesh)
-    fn = jax.jit(
-        partial(cascade_lib.stylize_fn, cfg=cfg),
-        in_shardings=(rep, bsharding, rep, rep),
-        out_shardings=bsharding,
-    )
+    fn = _sharded_stylize_fn(cfg, mesh, axis_name, spatial=False)
     return fn(params, content, style_cache, jnp.asarray(alpha, jnp.float32))
+
+
+@lru_cache(maxsize=64)
+def _sharded_stylize_fn(
+    cfg: cascade_lib.CascadeConfig, mesh: Mesh, axis_name: str, spatial: bool
+):
+    """Cached jit wrapper per (cfg, mesh, axis, mode).
+
+    Building a fresh ``jax.jit(partial(...))`` per call would bypass
+    jit's trace cache and retrace/recompile the whole cascade every
+    invocation (~90 s on TPU).
+    """
+    rep = replicated(mesh)
+    data = (
+        NamedSharding(mesh, P(None, axis_name))
+        if spatial
+        else batch_sharding(mesh, axis_name)
+    )
+    return jax.jit(
+        partial(cascade_lib.stylize_fn, cfg=cfg),
+        in_shardings=(rep, data, rep, rep),
+        out_shardings=data,
+    )
 
 
 def stylize_spatial(
@@ -105,11 +122,5 @@ def stylize_spatial(
     bitwise-comparable to the unsharded path; use DP
     (``stylize_sharded``) when bitwise reproducibility matters.
     """
-    rep = replicated(mesh)
-    spat = NamedSharding(mesh, P(None, axis_name))
-    fn = jax.jit(
-        partial(cascade_lib.stylize_fn, cfg=cfg),
-        in_shardings=(rep, spat, rep, rep),
-        out_shardings=spat,
-    )
+    fn = _sharded_stylize_fn(cfg, mesh, axis_name, spatial=True)
     return fn(params, content, style_cache, jnp.asarray(alpha, jnp.float32))

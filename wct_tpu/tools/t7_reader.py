@@ -140,12 +140,16 @@ class _Reader:
             self.memo[index] = arr
             return arr
 
-        attrs = self.read_obj()  # the object's table
-        obj = TorchObject(
-            classname,
-            attrs.attrs if isinstance(attrs, TorchObject) else (attrs or {}),
-        )
+        # Memoize BEFORE reading attrs: a module's table may legally
+        # back-reference the module itself; the placeholder makes the
+        # inner (TYPE_TORCH, index) hit the memo instead of re-reading
+        # the stream (which would misparse everything after it).
+        obj = TorchObject(classname, {})
         self.memo[index] = obj
+        attrs = self.read_obj()  # the object's table
+        obj.attrs = (
+            attrs.attrs if isinstance(attrs, TorchObject) else (attrs or {})
+        )
         return obj
 
     def _read_table(self, index: int) -> Any:

@@ -90,6 +90,7 @@ class DevicePrefetcher:
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._sharding = sharding
         self._it = it
+        self._error: BaseException | None = None
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -97,6 +98,8 @@ class DevicePrefetcher:
         try:
             for batch in self._it:
                 self._q.put(jax.device_put(batch, self._sharding))
+        except BaseException as e:  # noqa: BLE001 — re-raised in __next__
+            self._error = e
         finally:
             self._q.put(self._END)
 
@@ -106,5 +109,10 @@ class DevicePrefetcher:
     def __next__(self):
         item = self._q.get()
         if item is self._END:
+            if self._error is not None:
+                # Producer failures must fail the consumer, not look
+                # like a clean end-of-data (a training job whose
+                # dataset vanished must NOT exit 0 at step 0).
+                raise self._error
             raise StopIteration
         return item

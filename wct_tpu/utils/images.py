@@ -27,6 +27,11 @@ def get_files(img_dir: str | os.PathLike) -> list[str]:
     )
 
 
+def list_images(path: str | os.PathLike) -> list[str]:
+    """``path`` as an image list: a directory's images, or [path] itself."""
+    return get_files(path) if os.path.isdir(path) else [str(path)]
+
+
 def get_img(path: str | os.PathLike) -> np.ndarray:
     """Load to float32 RGB in [0, 1], shape [H, W, 3] (reference get_img)."""
     img = Image.open(path).convert("RGB")

@@ -42,13 +42,34 @@ class StageTimer:
 
     @contextlib.contextmanager
     def stage(self, name: str, sync_on=None):
+        """Time a block; ``sync_on`` is a ZERO-ARG CALLABLE evaluated at
+        block exit returning the value to device-sync on — it must be a
+        callable because the output to sync on is produced INSIDE the
+        block::
+
+            out = {}
+            with t.stage("step", sync_on=lambda: out["v"]):
+                out["v"] = compiled_step(x)
+
+        Passing a plain value would sync on the PREVIOUS iteration's
+        output and misattribute all device time to a later stage.
+        """
         t0 = time.perf_counter()
         try:
             yield
         finally:
-            device_sync(sync_on)
+            device_sync(sync_on() if callable(sync_on) else sync_on)
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
+
+    def timed(self, name: str, fn, *args, **kwargs):
+        """Call ``fn``, device-sync its result, record the stage time."""
+        t0 = time.perf_counter()
+        out = fn(*args, **kwargs)
+        device_sync(out)
+        self.totals[name] += time.perf_counter() - t0
+        self.counts[name] += 1
+        return out
 
     def report(self) -> str:
         lines = []

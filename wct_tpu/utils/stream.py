@@ -84,7 +84,11 @@ class VideoSource:
         return self._stopped
 
     def stop(self):
+        # Join the capture thread BEFORE releasing: release() while a
+        # read() is in flight is not thread-safe in OpenCV.
         self._stopped = True
+        if self._thread.is_alive():
+            self._thread.join(timeout=5.0)
         self._cap.release()
 
 
@@ -135,8 +139,15 @@ class StreamStylizer:
         )
 
     # -- batched offline path (video files) --
-    def process_batch(self, frames_rgb: list[np.ndarray]) -> list[np.ndarray]:
-        """Stylize N frames in one dispatch (offline video throughput)."""
+    def process_batch(
+        self, frames_rgb: list[np.ndarray], pad_to: int = 0
+    ) -> list[np.ndarray]:
+        """Stylize N frames in one dispatch (offline video throughput).
+
+        ``pad_to`` pads a short trailing batch up to the steady-state
+        size (repeating the last frame; extra outputs dropped) so it
+        reuses the full batch's compiled graph.
+        """
         if self._cache is None:
             raise RuntimeError("no style set")
         sized = [
@@ -144,6 +155,9 @@ class StreamStylizer:
             else img_utils.resize_exact(f, self.height, self.width)
             for f in frames_rgb
         ]
+        n = len(sized)
+        if pad_to > n:
+            sized = sized + [sized[-1]] * (pad_to - n)
         out = cascade.stylize(
             self.params,
             jnp.asarray(np.stack(sized), jnp.float32),
@@ -151,7 +165,8 @@ class StreamStylizer:
             self.alpha,
             self.cfg,
         )
-        outs = [np.asarray(o, dtype=np.float32) for o in out]
+        outs = [np.asarray(o, dtype=np.float32) for o in out[:n]]
+        sized = sized[:n]
         if self.keep_colors:
             outs = [
                 color_utils.preserve_colors_np(f, o) for f, o in zip(sized, outs)
