@@ -106,6 +106,23 @@ class TestWCT:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestAutoMethod:
+    def test_auto_small_matches_eigh(self, rng):
+        fc, fs = _feat(rng, c=16), _feat(rng, h=9, w=7, c=16)
+        a = wct_ops.wct(jnp.asarray(fc), jnp.asarray(fs), 1.0, method="auto")
+        b = wct_ops.wct(jnp.asarray(fc), jnp.asarray(fs), 1.0, method="eigh")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_auto_large_matches_newton_schulz(self, rng):
+        fc = _feat(rng, h=20, w=20, c=256)
+        fs = _feat(rng, h=20, w=20, c=256, scale=2.0)
+        a = wct_ops.wct(jnp.asarray(fc), jnp.asarray(fs), 1.0, method="auto")
+        b = wct_ops.wct(
+            jnp.asarray(fc), jnp.asarray(fs), 1.0, method="newton_schulz"
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestBatching:
     def test_bitwise_stable_across_batch_sizes(self, rng):
         fc = np.stack([_feat(rng) for _ in range(4)])

@@ -54,9 +54,10 @@ def add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--ss-stride", type=int, default=1)
     p.add_argument(
         "--method",
-        choices=["eigh", "newton_schulz", "newton_schulz_pallas"],
+        choices=["eigh", "newton_schulz", "newton_schulz_pallas", "auto"],
         default="eigh",
-        help="matrix-sqrt path for WCT",
+        help="matrix-sqrt path for WCT ('auto' = eigh for small Grams, "
+        "Newton-Schulz for 256+ channels)",
     )
     p.add_argument(
         "--dtype",

@@ -50,7 +50,12 @@ import jax.numpy as jnp
 DEFAULT_EPS = 1e-8
 DEFAULT_TRUNC = 1e-5
 
-Method = Literal["eigh", "newton_schulz", "newton_schulz_pallas"]
+Method = Literal["eigh", "newton_schulz", "newton_schulz_pallas", "auto"]
+
+# 'auto' picks the solver per Gram size (SURVEY.md §7.8): eigh is exact
+# and cheap for small channel counts; Newton–Schulz (pure batched MXU
+# matmuls) is ~20× faster than batched eigh at C=512 on v5e.
+_AUTO_EIGH_MAX_C = 128
 
 
 @jax.tree_util.register_dataclass
@@ -114,6 +119,8 @@ def _sqrt_kernels(
     cov: jax.Array, power: float, trunc: float, method: Method
 ) -> jax.Array:
     """cov^{power} for power = ±1/2 with the selected eigensolver."""
+    if method == "auto":
+        method = "eigh" if cov.shape[-1] <= _AUTO_EIGH_MAX_C else "newton_schulz"
     if method == "eigh":
         return _sym_pow(cov, power, trunc)
     if method in ("newton_schulz", "newton_schulz_pallas"):
@@ -163,6 +170,8 @@ def whiten_color_kernels(
     f_flat = _flatten_hwc(f)
     cov, mean = _gram(f_flat)
     cov = cov + eps * jnp.eye(cov.shape[0], dtype=cov.dtype)
+    if method == "auto":
+        method = "eigh" if cov.shape[-1] <= _AUTO_EIGH_MAX_C else "newton_schulz"
     if method == "eigh":
         s, u = jnp.linalg.eigh(cov)
         keep = s > trunc
