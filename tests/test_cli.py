@@ -75,6 +75,21 @@ def test_stylize_cli_wrong_interp_weights(tiny_imgs):
         )
 
 
+def test_preset_overrides_dtype_and_method(tiny_imgs):
+    from wct_tpu.cli import common
+
+    import argparse
+
+    p = argparse.ArgumentParser()
+    common.add_model_flags(p)
+    args = p.parse_args(["--preset", "throughput"])
+    cfg = common.config_from_args(args)
+    assert cfg.compute_dtype == "bfloat16" and cfg.method == "newton_schulz"
+    args = p.parse_args(["--preset", "balanced"])
+    cfg = common.config_from_args(args)
+    assert cfg.compute_dtype == "float32" and cfg.method == "auto"
+
+
 def test_train_cli_synthetic(tmp_path):
     from wct_tpu.cli import train as cli
 
@@ -94,6 +109,47 @@ def test_train_cli_synthetic(tmp_path):
     assert (ckpt / "state_latest.npz").exists()
     assert (ckpt / "decoder_relu1_1.npz").exists()
     assert (ckpt / "metrics.jsonl").read_text().strip()
+
+
+def test_train_cli_save_on_signal(tmp_path):
+    """SIGTERM mid-run → clean checkpoint + exit 0 (preemption safety)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    ckpt = tmp_path / "ckpt"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "wct_tpu.cli.train",
+            "--relu-target", "relu1_1",
+            "--synthetic",
+            "--checkpoint-dir", str(ckpt),
+            "--batch-size", "2",
+            "--crop-size", "32",
+            "--max-iter", "100000",
+            "--save-iter", "100000",
+            "--summary-iter", "5",
+        ],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    deadline = time.time() + 120
+    metrics = ckpt / "metrics.jsonl"
+    while time.time() < deadline and not metrics.exists():
+        time.sleep(0.5)
+        if proc.poll() is not None:
+            raise AssertionError(f"train exited early:\n{proc.stdout.read()}")
+    assert metrics.exists(), "training never reached a summary step"
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=120)
+    assert proc.returncode == 0, out
+    assert (ckpt / "state_latest.npz").exists()
+    assert "checkpointing and stopping" in out
 
 
 def test_train_cli_resume(tmp_path):

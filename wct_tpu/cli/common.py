@@ -65,9 +65,27 @@ def add_model_flags(p: argparse.ArgumentParser) -> None:
         default="float32",
         help="conv compute dtype (bfloat16 = throughput mode)",
     )
+    p.add_argument(
+        "--preset",
+        choices=["fidelity", "balanced", "throughput"],
+        default=None,
+        help="quality/speed preset overriding --dtype/--method: "
+        "fidelity = f32 + eigh (reference-exact truncation), "
+        "balanced = f32 convs + auto solver (16 fps/chip at 512px), "
+        "throughput = bf16 + Newton-Schulz (~65 fps/chip at 512px)",
+    )
+
+
+_PRESETS = {
+    "fidelity": ("float32", "eigh"),
+    "balanced": ("float32", "auto"),
+    "throughput": ("bfloat16", "newton_schulz"),
+}
 
 
 def config_from_args(args: argparse.Namespace) -> cascade.CascadeConfig:
+    if getattr(args, "preset", None):
+        args.dtype, args.method = _PRESETS[args.preset]
     return cascade.CascadeConfig(
         relu_targets=tuple(args.relu_targets),
         transform="adain" if args.adain else "wct",

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import signal
 import time
 from pathlib import Path
 
@@ -138,6 +139,19 @@ def main(argv=None) -> None:
         step_fn = lambda s, e, b: train_step(s, e, b, cfg)
         sharding = None
 
+    # Save-on-signal (SURVEY.md §5 failure-recovery row): SIGTERM/SIGINT
+    # sets a flag; the loop checkpoints and exits cleanly so a preempted
+    # run resumes from its exact step instead of the last --save-iter.
+    stop_requested = False
+
+    def _request_stop(signum, frame):  # noqa: ARG001
+        nonlocal stop_requested
+        stop_requested = True
+        print(f"[train] signal {signum}: checkpointing and stopping")
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _request_stop)
+
     prefetch = DevicePrefetcher(batches, depth=2, sharding=sharding)
     log_file = (ckpt_dir / "metrics.jsonl").open("a")
     t0 = time.time()
@@ -158,7 +172,7 @@ def main(argv=None) -> None:
                 f"(pixel {m['pixel']:.4f}, feature {m['feature']:.4f}) "
                 f"{m['img_per_sec']:.1f} img/s"
             )
-        if step % cfg.save_iter == 0 or step >= cfg.max_iter:
+        if step % cfg.save_iter == 0 or step >= cfg.max_iter or stop_requested:
             checkpoint.save_pytree(
                 latest,
                 {
@@ -170,7 +184,7 @@ def main(argv=None) -> None:
             checkpoint.save_pytree(
                 ckpt_dir / f"decoder_{cfg.relu_target}.npz", state.params
             )
-        if step >= cfg.max_iter:
+        if step >= cfg.max_iter or stop_requested:
             break
     print(f"[train] done at step {int(state.step)}; decoder saved to {ckpt_dir}")
 
