@@ -111,6 +111,36 @@ def test_train_cli_synthetic(tmp_path):
     assert (ckpt / "metrics.jsonl").read_text().strip()
 
 
+def test_train_cli_val_path(tmp_path, rng):
+    from wct_tpu.cli import train as cli
+
+    val_dir = tmp_path / "val"
+    val_dir.mkdir()
+    for i in range(2):
+        images.save_img(val_dir / f"v{i}.png", rng.random((40, 40, 3)))
+    ckpt = tmp_path / "ckpt"
+    cli.main(
+        [
+            "--relu-target", "relu1_1",
+            "--synthetic",
+            "--val-path", str(val_dir),
+            "--checkpoint-dir", str(ckpt),
+            "--batch-size", "2",
+            "--crop-size", "32",
+            "--max-iter", "2",
+            "--save-iter", "2",
+            "--summary-iter", "2",
+        ]
+    )
+    import json
+
+    rows = [
+        json.loads(line)
+        for line in (ckpt / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert any("val_loss" in r for r in rows)
+
+
 def test_train_cli_save_on_signal(tmp_path):
     """SIGTERM mid-run → clean checkpoint + exit 0 (preemption safety)."""
     import os

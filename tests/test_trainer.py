@@ -99,6 +99,36 @@ def test_sharded_step_matches_single(enc_params):
     )
 
 
+def test_remat_matches_no_remat(enc_params):
+    cfg_plain = TrainConfig(relu_target="relu2_1", batch_size=2, crop_size=32)
+    cfg_remat = TrainConfig(
+        relu_target="relu2_1", batch_size=2, crop_size=32, remat=True
+    )
+    batch = jnp.asarray(next(synthetic_batches(2, 32, seed=8)))
+    s1 = init_train_state(jax.random.PRNGKey(9), cfg_plain)
+    s2 = init_train_state(jax.random.PRNGKey(9), cfg_remat)
+    s1, m1 = train_step(s1, enc_params, batch, cfg_plain)
+    s2, m2 = train_step(s2, enc_params, batch, cfg_remat)
+    # Rematerialization changes memory, not math.
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        s1.params,
+        s2.params,
+    )
+
+
+def test_eval_step(enc_params):
+    from wct_tpu.train import eval_step
+
+    state = init_train_state(jax.random.PRNGKey(2), CFG)
+    batch = jnp.asarray(next(synthetic_batches(CFG.batch_size, CFG.crop_size)))
+    metrics = eval_step(state.params, enc_params, batch, CFG)
+    assert set(metrics) == {"loss", "pixel", "feature", "tv"}
+
+
 def test_prefetcher_delivers_on_device():
     it = iter([np.zeros((2, 8, 8, 3), np.float32)] * 3)
     pf = DevicePrefetcher(it, depth=2)

@@ -63,6 +63,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--feature-weight", type=float, default=1.0)
     p.add_argument("--tv-weight", type=float, default=0.0)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize forward activations in the backward "
+                        "pass (fits larger crops/batches in HBM)")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all local devices")
     p.add_argument("--seed", type=int, default=0)
@@ -95,6 +98,7 @@ def main(argv=None) -> None:
         save_iter=args.save_iter,
         summary_iter=args.summary_iter,
         compute_dtype=args.dtype,
+        remat=args.remat,
     )
     ckpt_dir = Path(args.checkpoint_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
@@ -139,6 +143,22 @@ def main(argv=None) -> None:
         step_fn = lambda s, e, b: train_step(s, e, b, cfg)
         sharding = None
 
+    # Fixed validation batch (reference train.py's val summaries):
+    # center crops from --val-path, evaluated every summary_iter.
+    val_batch = None
+    if args.val_path:
+        val_paths = images.get_files(args.val_path)[: cfg.batch_size]
+        if val_paths:
+            val_batch = jax.numpy.asarray(
+                np.stack(
+                    [
+                        images.center_crop(images.get_img(p), cfg.crop_size)
+                        for p in val_paths
+                    ]
+                )
+            )
+            print(f"[train] validating on {len(val_paths)} images")
+
     # Save-on-signal (SURVEY.md §5 failure-recovery row): SIGTERM/SIGINT
     # sets a flag; the loop checkpoints and exits cleanly so a preempted
     # run resumes from its exact step instead of the last --save-iter.
@@ -161,6 +181,11 @@ def main(argv=None) -> None:
         if step % cfg.summary_iter == 0:
             m = {k: float(v) for k, v in metrics.items()}
             m["step"] = step
+            if val_batch is not None:
+                from wct_tpu.train import eval_step
+
+                val = eval_step(state.params, enc_params, val_batch, cfg)
+                m.update({f"val_{k}": float(v) for k, v in val.items()})
             m["img_per_sec"] = (
                 cfg.batch_size * cfg.summary_iter / max(time.time() - t0, 1e-9)
             )

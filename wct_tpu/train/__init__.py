@@ -9,6 +9,7 @@ from wct_tpu.train.data import (  # noqa: F401
 from wct_tpu.train.trainer import (  # noqa: F401
     TrainConfig,
     TrainState,
+    eval_step,
     init_train_state,
     make_optimizer,
     make_sharded_train_step,

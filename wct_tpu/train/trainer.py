@@ -51,6 +51,10 @@ class TrainConfig:
     save_iter: int = 5_000
     summary_iter: int = 100
     compute_dtype: str = "float32"
+    # Rematerialize the encoder/decoder forward in the backward pass —
+    # trades ~30% FLOPs for activation memory, enabling large crops /
+    # batch on one chip (jax.checkpoint; new capability vs reference).
+    remat: bool = False
 
     @property
     def dtype(self):
@@ -81,9 +85,14 @@ def reconstruction_loss(
     """
     target = cfg.relu_target
     x = batch.astype(cfg.dtype)
-    code = vgg.encode(enc_params, x, target)
-    decoded = dec_lib.decode(dec_params, code, target)
-    recode = vgg.encode(enc_params, decoded, target)
+    encode = lambda p, img: vgg.encode(p, img, target)
+    decode = lambda p, f: dec_lib.decode(p, f, target)
+    if cfg.remat:
+        encode = jax.checkpoint(encode)
+        decode = jax.checkpoint(decode)
+    code = encode(enc_params, x)
+    decoded = decode(dec_params, code)
+    recode = encode(enc_params, decoded)
 
     pixel = jnp.mean((decoded.astype(jnp.float32) - x.astype(jnp.float32)) ** 2)
     feature = jnp.mean(
@@ -126,6 +135,18 @@ def init_train_state(key: jax.Array, cfg: TrainConfig) -> TrainState:
     params = dec_lib.init_decoder_params(key, cfg.relu_target)
     opt_state = make_optimizer(cfg).init(params)
     return TrainState(params=params, opt_state=opt_state, step=jnp.int32(0))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def eval_step(
+    dec_params: Any,
+    enc_params: Any,
+    batch: jax.Array,
+    cfg: TrainConfig,
+) -> dict[str, jax.Array]:
+    """Validation metrics (no grad) — reference train.py's val summaries."""
+    _, metrics = reconstruction_loss(dec_params, enc_params, batch, cfg)
+    return metrics
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))

@@ -11,3 +11,4 @@ from wct_tpu.utils.images import (  # noqa: F401
     resize_to,
     save_img,
 )
+from wct_tpu.utils.serving import BucketedStylizer, bucket_shape  # noqa: F401,E402
