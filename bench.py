@@ -75,8 +75,10 @@ def main() -> None:
                         help="also measure the f32+eigh fidelity path")
     args = parser.parse_args()
 
+    from wct_tpu.cli.common import enable_compile_cache
     from wct_tpu.models import cascade
 
+    enable_compile_cache()
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
     log(f"device: {jax.devices()[0].device_kind} ({jax.default_backend()})")
 

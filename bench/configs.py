@@ -67,8 +67,10 @@ def main() -> None:
     args = parser.parse_args()
     rounds = 2 if args.quick else 3
 
+    from wct_tpu.cli.common import enable_compile_cache
     from wct_tpu.models import cascade
 
+    enable_compile_cache()
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
     emit = lambda d: print(json.dumps(d), flush=True)
     rng = np.random.default_rng(0)

@@ -137,6 +137,19 @@ def test_prefetcher_delivers_on_device():
     assert all(isinstance(b, jax.Array) for b in out)
 
 
+def test_prefetcher_stress_order_and_count():
+    """Threading stress (SURVEY.md §4): order preserved, nothing lost."""
+    n = 200
+
+    def gen():
+        for i in range(n):
+            yield np.full((1, 2, 2, 1), i, np.float32)
+
+    pf = DevicePrefetcher(gen(), depth=3)
+    seen = [int(np.asarray(b)[0, 0, 0, 0]) for b in pf]
+    assert seen == list(range(n))
+
+
 def test_prefetcher_propagates_producer_errors():
     def bad_gen():
         yield np.zeros((1, 4, 4, 3), np.float32)
