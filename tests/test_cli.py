@@ -149,8 +149,16 @@ def test_train_cli_save_on_signal(tmp_path):
     import sys
     import time
 
+    import pathlib
+
+    import wct_tpu
+
     ckpt = tmp_path / "ckpt"
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # The axon TPU plugin (on PYTHONPATH) ignores JAX_PLATFORMS=cpu, so
+    # the subprocess would silently train on the shared TPU (slow first
+    # compile → flaky timeouts). Strip the plugin path to force CPU.
+    repo_root = str(pathlib.Path(wct_tpu.__file__).resolve().parent.parent)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo_root)
     proc = subprocess.Popen(
         [
             sys.executable, "-m", "wct_tpu.cli.train",

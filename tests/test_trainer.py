@@ -150,6 +150,29 @@ def test_prefetcher_stress_order_and_count():
     assert seen == list(range(n))
 
 
+def test_prefetcher_multiworker_order_and_count():
+    n = 100
+
+    def gen():
+        for i in range(n):
+            yield np.full((1, 2, 2, 1), i, np.float32)
+
+    pf = DevicePrefetcher(gen(), depth=4, workers=4)
+    seen = [int(np.asarray(b)[0, 0, 0, 0]) for b in pf]
+    assert seen == list(range(n))
+
+
+def test_prefetcher_multiworker_error_propagates():
+    def bad_gen():
+        yield np.zeros((1, 2, 2, 1), np.float32)
+        yield np.zeros((1, 2, 2, 1), np.float32)
+        raise RuntimeError("decode failed")
+
+    pf = DevicePrefetcher(bad_gen(), depth=2, workers=3)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(pf)
+
+
 def test_prefetcher_propagates_producer_errors():
     def bad_gen():
         yield np.zeros((1, 4, 4, 3), np.float32)

@@ -78,41 +78,81 @@ def synthetic_batches(
 class DevicePrefetcher:
     """Overlap host decode + H2D transfer with device compute.
 
-    Worker threads pull numpy batches from ``it`` and ``device_put``
-    them (optionally with a sharding) into a bounded queue; the train
-    loop pops ready-on-device batches. ``depth=2`` is classic double
-    buffering.
+    ``workers`` threads pull numpy batches from ``it`` (the iterator is
+    shared under a lock; image decode releases the GIL, so decode
+    genuinely parallelizes) and ``device_put`` them (optionally with a
+    sharding) into a bounded queue; the train loop pops ready-on-device
+    batches IN ORDER — each worker reserves a sequence ticket under the
+    iterator lock and a reorder buffer releases batches sequentially.
+    ``depth=2`` is classic double buffering; raise ``workers`` when
+    host decode can't feed the device (e.g. JPEG decode at 65 fps).
     """
 
     _END = object()
 
-    def __init__(self, it: Iterator[np.ndarray], depth: int = 2, sharding=None):
-        self._q: queue.Queue = queue.Queue(maxsize=depth)
+    def __init__(
+        self,
+        it: Iterator[np.ndarray],
+        depth: int = 2,
+        sharding=None,
+        workers: int = 1,
+    ):
+        self._q: queue.Queue = queue.Queue(maxsize=max(depth, workers))
         self._sharding = sharding
         self._it = it
+        self._it_lock = threading.Lock()
+        self._seq = 0
         self._error: BaseException | None = None
-        self._thread = threading.Thread(target=self._run, daemon=True)
-        self._thread.start()
+        self._reorder: dict[int, object] = {}
+        self._next_out = 0
+        self._ended = 0
+        self._workers = max(1, workers)
+        self._threads = [
+            threading.Thread(target=self._run, daemon=True)
+            for _ in range(self._workers)
+        ]
+        for t in self._threads:
+            t.start()
 
     def _run(self):
-        try:
-            for batch in self._it:
-                self._q.put(jax.device_put(batch, self._sharding))
-        except BaseException as e:  # noqa: BLE001 — re-raised in __next__
-            self._error = e
-        finally:
-            self._q.put(self._END)
+        while True:
+            try:
+                with self._it_lock:
+                    batch = next(self._it)
+                    ticket = self._seq
+                    self._seq += 1
+            except StopIteration:
+                self._q.put((None, self._END))
+                return
+            except BaseException as e:  # noqa: BLE001 — re-raised in __next__
+                self._error = e
+                self._q.put((None, self._END))
+                return
+            try:
+                self._q.put((ticket, jax.device_put(batch, self._sharding)))
+            except BaseException as e:  # noqa: BLE001
+                self._error = e
+                self._q.put((None, self._END))
+                return
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        item = self._q.get()
-        if item is self._END:
-            if self._error is not None:
-                # Producer failures must fail the consumer, not look
-                # like a clean end-of-data (a training job whose
-                # dataset vanished must NOT exit 0 at step 0).
-                raise self._error
-            raise StopIteration
-        return item
+        while True:
+            if self._next_out in self._reorder:
+                item = self._reorder.pop(self._next_out)
+                self._next_out += 1
+                return item
+            ticket, item = self._q.get()
+            if item is self._END:
+                self._ended += 1
+                if self._error is not None:
+                    # Producer failures must fail the consumer, not
+                    # look like clean end-of-data (a training job whose
+                    # dataset vanished must NOT exit 0 at step 0).
+                    raise self._error
+                if self._ended == self._workers and not self._reorder:
+                    raise StopIteration
+                continue
+            self._reorder[ticket] = item
