@@ -139,6 +139,8 @@ def test_train_cli_val_path(tmp_path, rng):
         for line in (ckpt / "metrics.jsonl").read_text().splitlines()
     ]
     assert any("val_loss" in r for r in rows)
+    # Val reconstruction image summaries land beside the checkpoint.
+    assert list(ckpt.glob("val_recon_*_step*.png"))
 
 
 def test_train_cli_save_on_signal(tmp_path):

@@ -63,6 +63,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--feature-weight", type=float, default=1.0)
     p.add_argument("--tv-weight", type=float, default=0.0)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also write TensorBoard event files (needs the "
+                        "bundled tensorflow; JSONL metrics always written)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize forward activations in the backward "
                         "pass (fits larger crops/batches in HBM)")
@@ -172,6 +175,14 @@ def main(argv=None) -> None:
     for sig in (signal.SIGTERM, signal.SIGINT):
         signal.signal(sig, _request_stop)
 
+    tb_writer = None
+    if args.tensorboard:
+        from wct_tpu.utils.tb import SummaryWriter
+
+        tb_writer = SummaryWriter(ckpt_dir / "tb")
+        if not tb_writer.active:
+            print("[train] tensorboard requested but TF unavailable; skipping")
+
     prefetch = DevicePrefetcher(batches, depth=2, sharding=sharding)
     log_file = (ckpt_dir / "metrics.jsonl").open("a")
     t0 = time.time()
@@ -192,12 +203,28 @@ def main(argv=None) -> None:
             t0 = time.time()
             log_file.write(json.dumps(m) + "\n")
             log_file.flush()
+            if tb_writer is not None and tb_writer.active:
+                tb_writer.scalars(step, {k: v for k, v in m.items() if k != "step"})
             print(
                 f"step {step}: loss {m['loss']:.4f} "
                 f"(pixel {m['pixel']:.4f}, feature {m['feature']:.4f}) "
                 f"{m['img_per_sec']:.1f} img/s"
             )
         if step % cfg.save_iter == 0 or step >= cfg.max_iter or stop_requested:
+            if val_batch is not None:
+                # Reference train.py logs reconstruction images to
+                # TensorBoard; here they land as PNGs next to the ckpt.
+                from wct_tpu.models import decoder as dec_lib
+
+                code = vgg.encode(enc_params, val_batch, cfg.relu_target)
+                decoded = np.asarray(
+                    dec_lib.decode(state.params, code, cfg.relu_target),
+                    dtype=np.float32,
+                )
+                for i, img in enumerate(decoded[:4]):
+                    images.save_img(
+                        ckpt_dir / f"val_recon_{i}_step{step}.png", img
+                    )
             checkpoint.save_pytree(
                 latest,
                 {
