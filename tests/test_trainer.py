@@ -150,27 +150,49 @@ def test_prefetcher_stress_order_and_count():
     assert seen == list(range(n))
 
 
-def test_prefetcher_multiworker_order_and_count():
-    n = 100
+def test_prefetcher_exhaustion_latches():
+    """next() after exhaustion must keep raising, never block (iterator
+    protocol)."""
+    pf = DevicePrefetcher(iter([np.zeros((1, 2, 2, 1), np.float32)]), depth=2)
+    assert len(list(pf)) == 1
+    with pytest.raises(StopIteration):
+        next(pf)
+    with pytest.raises(StopIteration):  # and again
+        next(pf)
 
-    def gen():
-        for i in range(n):
-            yield np.full((1, 2, 2, 1), i, np.float32)
 
-    pf = DevicePrefetcher(gen(), depth=4, workers=4)
-    seen = [int(np.asarray(b)[0, 0, 0, 0]) for b in pf]
-    assert seen == list(range(n))
-
-
-def test_prefetcher_multiworker_error_propagates():
+def test_prefetcher_error_latches():
     def bad_gen():
-        yield np.zeros((1, 2, 2, 1), np.float32)
         yield np.zeros((1, 2, 2, 1), np.float32)
         raise RuntimeError("decode failed")
 
-    pf = DevicePrefetcher(bad_gen(), depth=2, workers=3)
+    pf = DevicePrefetcher(bad_gen(), depth=2)
+    next(pf)
     with pytest.raises(RuntimeError, match="decode failed"):
-        list(pf)
+        next(pf)
+    with pytest.raises(RuntimeError, match="decode failed"):  # latched
+        next(pf)
+
+
+def test_batch_generator_parallel_decode(tmp_path, rng=None):
+    """batch_generator with a thread pool: full coverage, right shapes."""
+    import numpy as _np
+
+    from wct_tpu.train.data import batch_generator
+    from wct_tpu.utils import images as img_utils
+
+    r = _np.random.default_rng(0)
+    paths = []
+    for i in range(10):
+        p = tmp_path / f"img{i}.png"
+        img_utils.save_img(p, r.random((40, 40, 3)))
+        paths.append(str(p))
+    batches = list(
+        batch_generator(paths, batch_size=4, crop_size=32, loop=False,
+                        decode_workers=4)
+    )
+    assert sum(b.shape[0] for b in batches) == 10
+    assert all(b.shape[1:] == (32, 32, 3) for b in batches)
 
 
 def test_prefetcher_propagates_producer_errors():

@@ -13,7 +13,6 @@ batches (BASELINE config 4), one compiled graph per image shape.
 from __future__ import annotations
 
 import argparse
-import os
 import time
 from collections import defaultdict
 from pathlib import Path
@@ -55,8 +54,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     return p.parse_args(argv)
 
 
-def _listdir_or_file(path: str) -> list[str]:
-    return images.get_files(path) if os.path.isdir(path) else [path]
+_listdir_or_file = images.list_images
 
 
 def _prep_content(path: str, args) -> np.ndarray:

@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import json
 import signal
+import threading
 import time
 from pathlib import Path
 
@@ -150,8 +151,11 @@ def main(argv=None) -> None:
     # center crops from --val-path, evaluated every summary_iter.
     val_batch = None
     if args.val_path:
-        val_paths = images.get_files(args.val_path)[: cfg.batch_size]
-        if val_paths:
+        val_paths = images.list_images(args.val_path)[: cfg.batch_size]
+        if not val_paths:
+            print(f"[train] WARNING: no images under --val-path {args.val_path}; "
+                  "validation disabled")
+        else:
             val_batch = jax.numpy.asarray(
                 np.stack(
                     [
@@ -165,6 +169,8 @@ def main(argv=None) -> None:
     # Save-on-signal (SURVEY.md §5 failure-recovery row): SIGTERM/SIGINT
     # sets a flag; the loop checkpoints and exits cleanly so a preempted
     # run resumes from its exact step instead of the last --save-iter.
+    # Handlers are restored on exit (in-process callers keep Ctrl+C) and
+    # skipped off the main thread (signal.signal would raise there).
     stop_requested = False
 
     def _request_stop(signum, frame):  # noqa: ARG001
@@ -172,8 +178,10 @@ def main(argv=None) -> None:
         stop_requested = True
         print(f"[train] signal {signum}: checkpointing and stopping")
 
-    for sig in (signal.SIGTERM, signal.SIGINT):
-        signal.signal(sig, _request_stop)
+    prev_handlers = {}
+    if threading.current_thread() is threading.main_thread():
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            prev_handlers[sig] = signal.signal(sig, _request_stop)
 
     tb_writer = None
     if args.tensorboard:
@@ -186,58 +194,66 @@ def main(argv=None) -> None:
     prefetch = DevicePrefetcher(batches, depth=2, sharding=sharding)
     log_file = (ckpt_dir / "metrics.jsonl").open("a")
     t0 = time.time()
-    for batch in prefetch:
-        state, metrics = step_fn(state, enc_params, batch)
-        step = int(state.step)
-        if step % cfg.summary_iter == 0:
-            m = {k: float(v) for k, v in metrics.items()}
-            m["step"] = step
-            if val_batch is not None:
-                from wct_tpu.train import eval_step
-
-                val = eval_step(state.params, enc_params, val_batch, cfg)
-                m.update({f"val_{k}": float(v) for k, v in val.items()})
-            m["img_per_sec"] = (
-                cfg.batch_size * cfg.summary_iter / max(time.time() - t0, 1e-9)
-            )
-            t0 = time.time()
-            log_file.write(json.dumps(m) + "\n")
-            log_file.flush()
-            if tb_writer is not None and tb_writer.active:
-                tb_writer.scalars(step, {k: v for k, v in m.items() if k != "step"})
-            print(
-                f"step {step}: loss {m['loss']:.4f} "
-                f"(pixel {m['pixel']:.4f}, feature {m['feature']:.4f}) "
-                f"{m['img_per_sec']:.1f} img/s"
-            )
-        if step % cfg.save_iter == 0 or step >= cfg.max_iter or stop_requested:
-            if val_batch is not None:
-                # Reference train.py logs reconstruction images to
-                # TensorBoard; here they land as PNGs next to the ckpt.
-                from wct_tpu.models import decoder as dec_lib
-
-                code = vgg.encode(enc_params, val_batch, cfg.relu_target)
-                decoded = np.asarray(
-                    dec_lib.decode(state.params, code, cfg.relu_target),
-                    dtype=np.float32,
+    try:
+        for batch in prefetch:
+            state, metrics = step_fn(state, enc_params, batch)
+            step = int(state.step)
+            if step % cfg.summary_iter == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["step"] = step
+                # Throughput measured BEFORE the val pass so --val-path
+                # doesn't deflate the training img/s metric.
+                m["img_per_sec"] = (
+                    cfg.batch_size * cfg.summary_iter / max(time.time() - t0, 1e-9)
                 )
-                for i, img in enumerate(decoded[:4]):
-                    images.save_img(
-                        ckpt_dir / f"val_recon_{i}_step{step}.png", img
+                if val_batch is not None:
+                    from wct_tpu.train import eval_step
+
+                    val = eval_step(state.params, enc_params, val_batch, cfg)
+                    m.update({f"val_{k}": float(v) for k, v in val.items()})
+                t0 = time.time()
+                log_file.write(json.dumps(m) + "\n")
+                log_file.flush()
+                if tb_writer is not None and tb_writer.active:
+                    tb_writer.scalars(step, {k: v for k, v in m.items() if k != "step"})
+                print(
+                    f"step {step}: loss {m['loss']:.4f} "
+                    f"(pixel {m['pixel']:.4f}, feature {m['feature']:.4f}) "
+                    f"{m['img_per_sec']:.1f} img/s"
+                )
+            if step % cfg.save_iter == 0 or step >= cfg.max_iter or stop_requested:
+                if val_batch is not None:
+                    # Reference train.py logs reconstruction images to
+                    # TensorBoard; here they land as PNGs next to the ckpt.
+                    from wct_tpu.models import decoder as dec_lib
+
+                    code = vgg.encode(enc_params, val_batch, cfg.relu_target)
+                    decoded = np.asarray(
+                        dec_lib.decode(state.params, code, cfg.relu_target),
+                        dtype=np.float32,
                     )
-            checkpoint.save_pytree(
-                latest,
-                {
-                    "params": state.params,
-                    "opt_state": state.opt_state,
-                    "step": state.step,
-                },
-            )
-            checkpoint.save_pytree(
-                ckpt_dir / f"decoder_{cfg.relu_target}.npz", state.params
-            )
-        if step >= cfg.max_iter or stop_requested:
-            break
+                    for i, img in enumerate(decoded[:4]):
+                        images.save_img(
+                            ckpt_dir / f"val_recon_{i}_step{step}.png", img
+                        )
+                checkpoint.save_pytree(
+                    latest,
+                    {
+                        "params": state.params,
+                        "opt_state": state.opt_state,
+                        "step": state.step,
+                    },
+                )
+                checkpoint.save_pytree(
+                    ckpt_dir / f"decoder_{cfg.relu_target}.npz", state.params
+                )
+            if step >= cfg.max_iter or stop_requested:
+                break
+    finally:
+        # Restore prior handlers so in-process callers (tests,
+        # notebooks) keep a working Ctrl+C after main() returns.
+        for sig, handler in prev_handlers.items():
+            signal.signal(sig, handler)
     print(f"[train] done at step {int(state.step)}; decoder saved to {ckpt_dir}")
 
 

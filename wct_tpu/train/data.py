@@ -26,34 +26,68 @@ def batch_generator(
     crop_size: int = 256,
     seed: int = 0,
     loop: bool = True,
+    decode_workers: int = 4,
 ) -> Iterator[np.ndarray]:
     """Yield ``[B, crop, crop, 3]`` float32 batches of random crops.
 
     Reference train.py's generator (get_img_random_crop loop) with
-    shuffling per epoch. Corrupt/unreadable files are skipped with a
-    warning rather than killing a long run.
+    shuffling per epoch. Image decode runs on a ``decode_workers``
+    thread pool (PIL releases the GIL) so the host can feed a TPU at
+    full rate. Corrupt/unreadable files are skipped with a warning
+    rather than killing a long run.
     """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
     rng = np.random.default_rng(seed)
     if not paths:
         raise ValueError("no training images found")
-    while True:
-        order = rng.permutation(len(paths))
-        batch: list[np.ndarray] = []
-        for idx in order:
-            try:
-                batch.append(
-                    img_utils.get_img_random_crop(paths[idx], crop_size, rng)
-                )
-            except Exception as e:  # noqa: BLE001 — skip bad files
-                print(f"[data] skipping {paths[idx]}: {e}")
-                continue
-            if len(batch) == batch_size:
-                yield np.stack(batch)
-                batch = []
-        if not loop:
-            if batch:
-                yield np.stack(batch)
-            return
+
+    def load(args):
+        path, crop_seed = args
+        try:
+            return img_utils.get_img_random_crop(
+                path, crop_size, np.random.default_rng(crop_seed)
+            )
+        except Exception as e:  # noqa: BLE001 — skip bad files
+            print(f"[data] skipping {path}: {e}")
+            return None
+
+    def bounded_map(pool, jobs, window):
+        """Like Executor.map but submits at most ``window`` ahead —
+        plain map would eagerly submit (and buffer) the whole epoch."""
+        jobs = iter(jobs)
+        pending = deque()
+        for job in jobs:
+            pending.append(pool.submit(load, job))
+            if len(pending) >= window:
+                break
+        while pending:
+            done = pending.popleft()
+            nxt = next(jobs, None)
+            if nxt is not None:
+                pending.append(pool.submit(load, nxt))
+            yield done.result()
+
+    workers = max(1, decode_workers)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        while True:
+            order = rng.permutation(len(paths))
+            jobs = [
+                (paths[idx], int(rng.integers(0, 2**31))) for idx in order
+            ]
+            batch: list[np.ndarray] = []
+            for img in bounded_map(pool, jobs, window=2 * workers):
+                if img is None:
+                    continue
+                batch.append(img)
+                if len(batch) == batch_size:
+                    yield np.stack(batch)
+                    batch = []
+            if not loop:
+                if batch:
+                    yield np.stack(batch)
+                return
 
 
 def synthetic_batches(
@@ -76,83 +110,55 @@ def synthetic_batches(
 
 
 class DevicePrefetcher:
-    """Overlap host decode + H2D transfer with device compute.
+    """Overlap host batch production + H2D transfer with device compute.
 
-    ``workers`` threads pull numpy batches from ``it`` (the iterator is
-    shared under a lock; image decode releases the GIL, so decode
-    genuinely parallelizes) and ``device_put`` them (optionally with a
-    sharding) into a bounded queue; the train loop pops ready-on-device
-    batches IN ORDER — each worker reserves a sequence ticket under the
-    iterator lock and a reorder buffer releases batches sequentially.
-    ``depth=2`` is classic double buffering; raise ``workers`` when
-    host decode can't feed the device (e.g. JPEG decode at 65 fps).
+    One worker thread pulls numpy batches from ``it`` and
+    ``device_put``s them (optionally with a sharding) into a bounded
+    queue; the train loop pops ready-on-device batches. ``depth=2`` is
+    classic double buffering. Parallelism WITHIN batch production
+    (JPEG decode) belongs in the iterator — see ``batch_generator``'s
+    ``decode_workers`` — because an opaque iterator can only be
+    advanced serially.
     """
 
     _END = object()
 
-    def __init__(
-        self,
-        it: Iterator[np.ndarray],
-        depth: int = 2,
-        sharding=None,
-        workers: int = 1,
-    ):
-        self._q: queue.Queue = queue.Queue(maxsize=max(depth, workers))
+    def __init__(self, it: Iterator[np.ndarray], depth: int = 2, sharding=None):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._sharding = sharding
         self._it = it
-        self._it_lock = threading.Lock()
-        self._seq = 0
         self._error: BaseException | None = None
-        self._reorder: dict[int, object] = {}
-        self._next_out = 0
-        self._ended = 0
-        self._workers = max(1, workers)
-        self._threads = [
-            threading.Thread(target=self._run, daemon=True)
-            for _ in range(self._workers)
-        ]
-        for t in self._threads:
-            t.start()
+        self._finished = False  # latched: iterator protocol after exhaustion
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
 
     def _run(self):
-        while True:
-            try:
-                with self._it_lock:
-                    batch = next(self._it)
-                    ticket = self._seq
-                    self._seq += 1
-            except StopIteration:
-                self._q.put((None, self._END))
-                return
-            except BaseException as e:  # noqa: BLE001 — re-raised in __next__
-                self._error = e
-                self._q.put((None, self._END))
-                return
-            try:
-                self._q.put((ticket, jax.device_put(batch, self._sharding)))
-            except BaseException as e:  # noqa: BLE001
-                self._error = e
-                self._q.put((None, self._END))
-                return
+        try:
+            for batch in self._it:
+                self._q.put(jax.device_put(batch, self._sharding))
+        except BaseException as e:  # noqa: BLE001 — re-raised in __next__
+            self._error = e
+        finally:
+            self._q.put(self._END)
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        while True:
-            if self._next_out in self._reorder:
-                item = self._reorder.pop(self._next_out)
-                self._next_out += 1
-                return item
-            ticket, item = self._q.get()
-            if item is self._END:
-                self._ended += 1
-                if self._error is not None:
-                    # Producer failures must fail the consumer, not
-                    # look like clean end-of-data (a training job whose
-                    # dataset vanished must NOT exit 0 at step 0).
-                    raise self._error
-                if self._ended == self._workers and not self._reorder:
-                    raise StopIteration
-                continue
-            self._reorder[ticket] = item
+        if self._finished:
+            # Latch: calling next() again after exhaustion (or a
+            # propagated error) must keep raising, not block forever on
+            # an empty queue.
+            if self._error is not None:
+                raise self._error
+            raise StopIteration
+        item = self._q.get()
+        if item is self._END:
+            self._finished = True
+            if self._error is not None:
+                # Producer failures must fail the consumer, not look
+                # like a clean end-of-data (a training job whose
+                # dataset vanished must NOT exit 0 at step 0).
+                raise self._error
+            raise StopIteration
+        return item

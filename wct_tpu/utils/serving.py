@@ -17,10 +17,13 @@ on the global statistics is proportional to the padded fraction
 
 from __future__ import annotations
 
+from typing import TYPE_CHECKING
+
 import jax.numpy as jnp
 import numpy as np
 
-from wct_tpu.models import cascade
+if TYPE_CHECKING:  # runtime import is lazy: utils must stay light and
+    from wct_tpu.models import cascade  # models→utils imports must not cycle
 
 
 def bucket_shape(h: int, w: int, granularity: int = 128) -> tuple[int, int]:
@@ -54,9 +57,11 @@ class BucketedStylizer:
         self.params = params
         self.cfg = cfg
         self.granularity = granularity
-        self._cache: cascade.StyleCache | None = None
+        self._cache: "cascade.StyleCache | None" = None
 
     def set_style(self, style_img: np.ndarray) -> None:
+        from wct_tpu.models import cascade
+
         self._cache = cascade.precompute_style(
             self.params["encoder"], jnp.asarray(style_img, jnp.float32), self.cfg
         )
@@ -65,6 +70,8 @@ class BucketedStylizer:
         """Stylize one [H, W, 3] image of ANY size; output size == input."""
         if self._cache is None:
             raise RuntimeError("no style set")
+        from wct_tpu.models import cascade
+
         padded, (h, w) = pad_to_bucket(
             np.asarray(img, np.float32), self.granularity
         )
