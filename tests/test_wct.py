@@ -55,6 +55,16 @@ class TestWhitening:
         cov = _cov(white.reshape(f.shape[:2] + (8,)))
         np.testing.assert_allclose(cov, np.eye(8), atol=5e-3)
 
+    def test_more_channels_than_pixels(self, rng):
+        # relu5_1 of a small image: N=H·W < C → Gram rank ≤ N−1. The
+        # truncation mask must zero the null space and WCT stay finite.
+        fc = _feat(rng, h=2, w=2, c=64)
+        fs = _feat(rng, h=3, w=3, c=64, scale=2.0)
+        out = wct_ops.wct(jnp.asarray(fc), jnp.asarray(fs), 1.0)
+        assert np.all(np.isfinite(np.asarray(out)))
+        out0 = wct_ops.wct(jnp.asarray(fc), jnp.asarray(fs), 0.0)
+        np.testing.assert_allclose(np.asarray(out0), fc, atol=1e-4)
+
     def test_rank_deficient_input(self, rng):
         # Two constant channels → rank-deficient Gram; truncation must
         # zero those modes, not blow up (reference's 1e-5 threshold).
