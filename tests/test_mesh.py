@@ -85,6 +85,34 @@ def test_spatial_sharded_cascade_runs_and_is_deterministic(setup):
     assert h_shards == {(1, SIZE // 4, SIZE, 3)}
 
 
+def test_spatial_sharding_adain_mode(setup):
+    params, content, _, _ = setup
+    mesh = mesh_lib.create_mesh(4, axis_name="sp")
+    cfg = cascade.CascadeConfig(
+        relu_targets=("relu2_1", "relu1_1"), transform="adain"
+    )
+    rng = np.random.default_rng(17)
+    style = jnp.asarray(rng.random((SIZE, SIZE, 3), np.float32))
+    cache = cascade.precompute_style(params["encoder"], style, cfg)
+    out = mesh_lib.stylize_spatial(
+        params, jnp.asarray(content[:1]), cache, 0.8, cfg, mesh
+    )
+    # AdaIN uses only per-channel moments (all-reduced means/vars), no
+    # truncation knife-edge: spatial sharding should track unsharded.
+    ref = cascade.stylize(params, jnp.asarray(content[:1]), cache, 0.8, cfg)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=5e-2
+    )
+
+
+def test_sharded_wrapper_is_cached(setup):
+    params, content, cache, cfg = setup
+    mesh = mesh_lib.create_mesh()
+    f1 = mesh_lib._sharded_stylize_fn(cfg, mesh, "data", False)
+    f2 = mesh_lib._sharded_stylize_fn(cfg, mesh, "data", False)
+    assert f1 is f2  # no per-call retrace
+
+
 def test_output_sharding_is_batch_split(setup):
     params, content, cache, cfg = setup
     mesh = mesh_lib.create_mesh()

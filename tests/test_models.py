@@ -164,6 +164,58 @@ class TestCascade:
         out1 = cascade.stylize(params, jnp.asarray(content), c1, 1.0, cfg)
         np.testing.assert_allclose(np.asarray(out10), np.asarray(out1), atol=1e-5)
 
+    def test_bfloat16_mode_tracks_float32(self, params, imgs):
+        content, style = imgs
+        cfg32 = cascade.CascadeConfig(relu_targets=("relu2_1", "relu1_1"))
+        cfg16 = cascade.CascadeConfig(
+            relu_targets=("relu2_1", "relu1_1"), compute_dtype="bfloat16"
+        )
+        o32 = np.asarray(
+            cascade.stylize_pair(params, jnp.asarray(content[0]), jnp.asarray(style), 0.7, cfg32)
+        )
+        o16 = np.asarray(
+            cascade.stylize_pair(params, jnp.asarray(content[0]), jnp.asarray(style), 0.7, cfg16)
+        ).astype(np.float32)
+        # bf16 convs track f32 within a coarse tolerance on the body of
+        # the distribution (clip saturation + chaos move the tail).
+        assert np.median(np.abs(o32 - o16)) < 0.05
+
+    def test_stylize_interp_matches_manual_blend(self, params, imgs):
+        content, style = imgs
+        rng = np.random.default_rng(21)
+        style2 = rng.random((SIZE, SIZE, 3), np.float32)
+        cfg = cascade.CascadeConfig(relu_targets=("relu2_1",))
+        c1 = cascade.precompute_style(params["encoder"], jnp.asarray(style), cfg)
+        c2 = cascade.precompute_style(params["encoder"], jnp.asarray(style2), cfg)
+        w = jnp.asarray([0.4, 0.6], jnp.float32)
+        fused = cascade.stylize_interp(
+            params, jnp.asarray(content), [c1, c2], w, 0.8, cfg
+        )
+        manual = cascade.stylize(
+            params,
+            jnp.asarray(content),
+            cascade.interpolate_style_caches([c1, c2], w, cfg),
+            0.8,
+            cfg,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(manual), atol=1e-5
+        )
+
+    def test_adain_with_swap5(self, params):
+        # swap at relu5_1, AdaIN below — a reference-legal combination.
+        rng = np.random.default_rng(5)
+        content = rng.random((64, 64, 3), np.float32)
+        style = rng.random((64, 64, 3), np.float32)
+        cfg = cascade.CascadeConfig(
+            relu_targets=("relu5_1", "relu2_1"), transform="adain", swap5=True
+        )
+        out = cascade.stylize_pair(
+            params, jnp.asarray(content), jnp.asarray(style), 0.9, cfg
+        )
+        assert out.shape == (64, 64, 3)
+        assert np.all(np.isfinite(np.asarray(out)))
+
     def test_non_multiple_sizes_preserved(self, params):
         # 50x45 is not a multiple of 16: VALID pooling floor-halves, so
         # without input padding the output would come back 48x32.
