@@ -116,6 +116,67 @@ class TestWCT:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestGroupedWCT:
+    def test_groups_one_matches_plain(self, rng):
+        fc, fs = _feat(rng, c=16), _feat(rng, h=9, w=7, c=16)
+        a = wct_ops.wct(jnp.asarray(fc), jnp.asarray(fs), 0.8, groups=1)
+        b = wct_ops.wct(jnp.asarray(fc), jnp.asarray(fs), 0.8)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_grouped_matches_per_group_reference(self, rng):
+        # Grouped WCT over G groups ≡ plain WCT applied to each channel
+        # group independently.
+        fc = _feat(rng, c=16)
+        fs = _feat(rng, h=9, w=7, c=16, scale=2.0)
+        out = np.asarray(
+            wct_ops.wct(jnp.asarray(fc), jnp.asarray(fs), 1.0, groups=4)
+        )
+        for g in range(4):
+            sl = slice(4 * g, 4 * (g + 1))
+            ref = np.asarray(
+                wct_ops.wct(jnp.asarray(fc[..., sl]), jnp.asarray(fs[..., sl]), 1.0)
+            )
+            np.testing.assert_allclose(out[..., sl], ref, atol=1e-4)
+
+    def test_grouped_colored_matches_style_group_stats(self, rng):
+        fc = _feat(rng, h=16, w=16, c=8)
+        fs = _feat(rng, h=16, w=16, c=8, scale=2.0, shift=1.0)
+        out = np.asarray(
+            wct_ops.wct(jnp.asarray(fc), jnp.asarray(fs), 1.0, groups=2)
+        )
+        np.testing.assert_allclose(
+            out.reshape(-1, 8).mean(0), fs.reshape(-1, 8).mean(0), atol=5e-2
+        )
+
+    def test_indivisible_groups_raise(self, rng):
+        fc, fs = _feat(rng, c=10), _feat(rng, c=10)
+        with pytest.raises(ValueError, match="divisible"):
+            wct_ops.wct(jnp.asarray(fc), jnp.asarray(fs), 1.0, groups=4)
+
+    def test_cascade_with_groups(self, rng):
+        import jax as _jax
+
+        from wct_tpu.models import cascade
+
+        params = cascade.init_params(_jax.random.PRNGKey(0))
+        cfg = cascade.CascadeConfig(
+            relu_targets=("relu2_1", "relu1_1"), wct_groups=4
+        )
+        content = rng.random((32, 32, 3)).astype(np.float32)
+        style = rng.random((32, 32, 3)).astype(np.float32)
+        out = cascade.stylize_pair(
+            params, jnp.asarray(content), jnp.asarray(style), 0.8, cfg
+        )
+        assert out.shape == (32, 32, 3)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_cascade_groups_validation(self):
+        from wct_tpu.models import cascade
+
+        with pytest.raises(ValueError, match="wct_groups"):
+            cascade.CascadeConfig(relu_targets=("relu1_1",), wct_groups=5)
+
+
 class TestAutoMethod:
     def test_auto_small_matches_eigh(self, rng):
         fc, fs = _feat(rng, c=16), _feat(rng, h=9, w=7, c=16)

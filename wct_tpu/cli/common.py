@@ -66,6 +66,13 @@ def add_model_flags(p: argparse.ArgumentParser) -> None:
         help="conv compute dtype (bfloat16 = throughput mode)",
     )
     p.add_argument(
+        "--wct-groups",
+        type=int,
+        default=1,
+        help="grouped (block-diagonal) WCT: split channels into G "
+        "independent groups (1 = exact reference WCT)",
+    )
+    p.add_argument(
         "--preset",
         choices=["fidelity", "balanced", "throughput"],
         default=None,
@@ -96,6 +103,7 @@ def config_from_args(args: argparse.Namespace) -> cascade.CascadeConfig:
         passes=args.passes,
         method=args.method,
         compute_dtype=args.dtype,
+        wct_groups=args.wct_groups,
     )
 
 

@@ -58,6 +58,11 @@ class CascadeConfig:
     passes: int = 1
     method: wct_ops.Method = "eigh"
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    # Grouped (block-diagonal) WCT: channels split into wct_groups
+    # independent groups per level (AdaWCT/PhotoWCT²-style). 1 = exact
+    # reference behavior; >1 trades coupling across channel groups for
+    # G²-cheaper decompositions. swap5's whitened space stays ungrouped.
+    wct_groups: int = 1
 
     def __post_init__(self):
         from wct_tpu.models import vgg  # local: avoid import cycle
@@ -83,6 +88,14 @@ class CascadeConfig:
             raise ValueError(f"compute_dtype {self.compute_dtype!r}")
         if self.method not in ("eigh", "newton_schulz", "newton_schulz_pallas", "auto"):
             raise ValueError(f"unknown method {self.method!r}")
+        if self.wct_groups < 1 or any(
+            vgg.TARGET_CHANNELS[t] % self.wct_groups for t in self.relu_targets
+        ):
+            raise ValueError(
+                f"wct_groups={self.wct_groups} must divide every level's "
+                f"channel count "
+                f"({ {t: vgg.TARGET_CHANNELS[t] for t in self.relu_targets} })"
+            )
 
     @property
     def dtype(self):
@@ -145,7 +158,9 @@ def precompute_style(
         elif cfg.transform == "adain":
             adain_st = adain_ops.adain_stats(fs)
         else:
-            stats = wct_ops.style_stats(fs, method=cfg.method)
+            stats = wct_ops.style_stats(
+                fs, method=cfg.method, groups=cfg.wct_groups
+            )
         cache[level] = LevelStyle(stats=stats, adain=adain_st, fs_white=fs_white)
     return cache
 
@@ -207,7 +222,9 @@ def _transform_level(
         return out.reshape(h, w, c).astype(fc.dtype)
     if cfg.transform == "adain":
         return adain_ops.adain_from_stats(fc, style.adain, alpha)
-    return wct_ops.wct_from_stats(fc, style.stats, alpha, method=cfg.method)
+    return wct_ops.wct_from_stats(
+        fc, style.stats, alpha, method=cfg.method, groups=cfg.wct_groups
+    )
 
 
 def stylize_fn(

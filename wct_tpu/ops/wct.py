@@ -139,16 +139,24 @@ def whitening_kernel(
     eps: float = DEFAULT_EPS,
     trunc: float = DEFAULT_TRUNC,
     method: Method = "eigh",
+    groups: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Whitening matrix + mean for content features ``fc: [H, W, C]``.
 
     ``whiten(x) = (x − mean) @ kernel`` gives identity channel
     covariance (on the retained rank). Mirrors reference ops.py:~85–110.
+    ``groups > 1`` → block-diagonal kernel ``[G, C/G, C/G]``.
     """
     f_flat = _flatten_hwc(fc)
-    cov, mean = _gram(f_flat)
-    cov = cov + eps * jnp.eye(cov.shape[0], dtype=cov.dtype)
-    return _sqrt_kernels(cov, -0.5, trunc, method), mean
+    if groups == 1:
+        cov, mean = _gram(f_flat)
+        cov = cov + eps * jnp.eye(cov.shape[0], dtype=cov.dtype)
+        return _sqrt_kernels(cov, -0.5, trunc, method), mean
+    covs, mean = _grouped_gram(f_flat, groups)
+    cg = covs.shape[-1]
+    covs = covs + eps * jnp.eye(cg, dtype=covs.dtype)[None]
+    kernel = jax.vmap(lambda c: _sqrt_kernels(c, -0.5, trunc, method))(covs)
+    return kernel, mean
 
 
 def whiten_color_kernels(
@@ -192,18 +200,55 @@ def style_stats(
     eps: float = DEFAULT_EPS,
     trunc: float = DEFAULT_TRUNC,
     method: Method = "eigh",
+    groups: int = 1,
 ) -> StyleStats:
     """Compute cacheable coloring statistics from style features [H, W, C].
 
     Mirrors the style half of reference ops.py:~110–125; computing it
     once per style (not per frame) is the persistent style-covariance
     cache of BASELINE config 5.
+
+    ``groups > 1`` computes BLOCK-DIAGONAL statistics: channels split
+    into G groups, each whitened/colored independently (grouped WCT, as
+    in AdaWCT/PhotoWCT² — arXiv:2208.00921, 2110.11995). G² cheaper
+    decompositions and often visually comparable; the stats kernel then
+    has shape ``[G, C/G, C/G]``. groups=1 is exact reference behavior.
     """
     f_flat = _flatten_hwc(fs)
-    cov, mean = _gram(f_flat)
-    cov = cov + eps * jnp.eye(cov.shape[0], dtype=cov.dtype)
-    kernel = _sqrt_kernels(cov, 0.5, trunc, method)
+    if groups == 1:
+        cov, mean = _gram(f_flat)
+        cov = cov + eps * jnp.eye(cov.shape[0], dtype=cov.dtype)
+        kernel = _sqrt_kernels(cov, 0.5, trunc, method)
+        return StyleStats(kernel=kernel, mean=mean)
+    covs, mean = _grouped_gram(f_flat, groups)
+    cg = covs.shape[-1]
+    covs = covs + eps * jnp.eye(cg, dtype=covs.dtype)[None]
+    kernel = jax.vmap(lambda c: _sqrt_kernels(c, 0.5, trunc, method))(covs)
     return StyleStats(kernel=kernel, mean=mean)
+
+
+def _grouped_gram(f_flat: jax.Array, groups: int) -> tuple[jax.Array, jax.Array]:
+    """Per-group Grams: [N, C] → ([G, C/G, C/G], mean [C])."""
+    n, c = f_flat.shape
+    if c % groups:
+        raise ValueError(f"channels {c} not divisible by groups {groups}")
+    f32 = f_flat.astype(jnp.float32)
+    mean = jnp.mean(f32, axis=0)
+    centered = (f32 - mean[None, :]).reshape(n, groups, c // groups)
+    covs = jnp.einsum("ngc,ngd->gcd", centered, centered,
+                      preferred_element_type=jnp.float32) / (n - 1)
+    return covs, mean
+
+
+def _apply_kernel(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """x [N, C] @ kernel, where kernel is [C, C] or block-diag [G, Cg, Cg]."""
+    if kernel.ndim == 2:
+        return x @ kernel
+    n, c = x.shape
+    g, cg, _ = kernel.shape
+    out = jnp.einsum("ngc,gcd->ngd", x.reshape(n, g, cg), kernel,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(n, c)
 
 
 def interpolate_stats(stats: list[StyleStats], weights: jax.Array) -> StyleStats:
@@ -215,11 +260,11 @@ def interpolate_stats(stats: list[StyleStats], weights: jax.Array) -> StyleStats
     §A.2) at a fraction of the cost: one blended C×C kernel instead of
     K recolorings.
     """
-    kernels = jnp.stack([s.kernel for s in stats])  # [K, C, C]
+    kernels = jnp.stack([s.kernel for s in stats])  # [K, C, C] or [K, G, Cg, Cg]
     means = jnp.stack([s.mean for s in stats])  # [K, C]
     w = weights.astype(kernels.dtype)
     return StyleStats(
-        kernel=jnp.einsum("k,kij->ij", w, kernels),
+        kernel=jnp.einsum("k,k...->...", w, kernels),
         mean=jnp.einsum("k,kc->c", w, means),
     )
 
@@ -232,12 +277,13 @@ def wct_from_stats(
     eps: float = DEFAULT_EPS,
     trunc: float = DEFAULT_TRUNC,
     method: Method = "eigh",
+    groups: int = 1,
 ) -> jax.Array:
     """Apply WCT to content features [H, W, C] given cached style stats.
 
     The whitening rotation and the coloring kernel are folded into one
-    C×C transform before the [N, C] feature matrix is touched, so the
-    per-pixel work is a single MXU matmul:
+    C×C (or per-group Cg×Cg) transform before the [N, C] feature matrix
+    is touched, so the per-pixel work is a single MXU matmul:
 
         out = (fc − μ_c) @ (W_c @ K_s) + μ_s
     """
@@ -245,14 +291,29 @@ def wct_from_stats(
     in_dtype = fc.dtype
     f_flat = _flatten_hwc(fc).astype(jnp.float32)
 
-    w_c, mu_c = whitening_kernel(fc, eps=eps, trunc=trunc, method=method)
-    transform = jax.lax.dot_general(
-        w_c,
-        stats.kernel.astype(jnp.float32),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    w_c, mu_c = whitening_kernel(
+        fc, eps=eps, trunc=trunc, method=method, groups=groups
     )
-    colored = (f_flat - mu_c[None, :]) @ transform + stats.mean.astype(jnp.float32)[None, :]
+    k_s = stats.kernel.astype(jnp.float32)
+    if w_c.ndim != k_s.ndim:
+        raise ValueError(
+            "content whitening groups do not match cached style stats "
+            f"(kernel ranks {w_c.ndim} vs {k_s.ndim}) — precompute the "
+            "style with the same `groups`"
+        )
+    if w_c.ndim == 2:
+        transform = jax.lax.dot_general(
+            w_c, k_s,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        transform = jnp.einsum(
+            "gab,gbc->gac", w_c, k_s, preferred_element_type=jnp.float32
+        )
+    colored = _apply_kernel(f_flat - mu_c[None, :], transform) + stats.mean.astype(
+        jnp.float32
+    )[None, :]
 
     # Reference ops.py:~135 blends against the ORIGINAL (uncentered)
     # content features.
@@ -269,6 +330,7 @@ def wct(
     eps: float = DEFAULT_EPS,
     trunc: float = DEFAULT_TRUNC,
     method: Method = "eigh",
+    groups: int = 1,
 ) -> jax.Array:
     """Whitening–coloring transform, single image.
 
@@ -276,10 +338,13 @@ def wct(
     features (spatial sizes may differ; channel count must match).
     Equivalent to reference ``wct_tf(content, style, alpha, eps)``
     (ops.py:~65) minus the batch-squeeze: batching here is explicit via
-    ``wct_batched``.
+    ``wct_batched``. ``groups > 1`` selects grouped (block-diagonal)
+    WCT — see ``style_stats``.
     """
-    stats = style_stats(fs, eps=eps, trunc=trunc, method=method)
-    return wct_from_stats(fc, stats, alpha, eps=eps, trunc=trunc, method=method)
+    stats = style_stats(fs, eps=eps, trunc=trunc, method=method, groups=groups)
+    return wct_from_stats(
+        fc, stats, alpha, eps=eps, trunc=trunc, method=method, groups=groups
+    )
 
 
 @partial(jax.jit, static_argnames=("method",))
