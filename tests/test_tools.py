@@ -173,6 +173,39 @@ class TestMakeBundle:
             )
 
 
+class TestCompareOutputs:
+    def test_identical_dirs_pass(self, tmp_path, rng):
+        from wct_tpu.tools import compare_outputs
+        from wct_tpu.utils import images
+
+        a, b = tmp_path / "a", tmp_path / "b"
+        a.mkdir(); b.mkdir()
+        img = rng.random((16, 16, 3))
+        images.save_img(a / "x.png", img)
+        images.save_img(b / "x.png", img)
+        assert compare_outputs.main([str(a), str(b)]) == 0
+
+    def test_differing_dirs_fail(self, tmp_path, rng):
+        from wct_tpu.tools import compare_outputs
+        from wct_tpu.utils import images
+
+        a, b = tmp_path / "a", tmp_path / "b"
+        a.mkdir(); b.mkdir()
+        images.save_img(a / "x.png", rng.random((16, 16, 3)))
+        images.save_img(b / "x.png", rng.random((16, 16, 3)))
+        assert compare_outputs.main([str(a), str(b), "--tol", "0.01"]) == 1
+
+    def test_no_common_files(self, tmp_path, rng):
+        from wct_tpu.tools import compare_outputs
+        from wct_tpu.utils import images
+
+        a, b = tmp_path / "a", tmp_path / "b"
+        a.mkdir(); b.mkdir()
+        images.save_img(a / "only_a.png", rng.random((8, 8, 3)))
+        images.save_img(b / "only_b.png", rng.random((8, 8, 3)))
+        assert compare_outputs.main([str(a), str(b)]) == 2
+
+
 class TestConvertTFCkpt:
     def test_positional_mapping(self, rng):
         target = "relu2_1"
