@@ -31,39 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _sync(out) -> None:
-    """Real device sync: one-element read (block_until_ready lies on axon)."""
-    _ = float(jax.tree.leaves(out)[0].ravel()[0])
-
-
-def latency(fn, arg, n=5) -> float:
-    """Median per-call latency with per-call sync (includes tunnel RTT)."""
-    _sync(fn(arg))
-    ts = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        _sync(fn(arg))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
-
-
-def throughput(fn, args_list, n_rounds=3) -> float:
-    """Frames/sec: enqueue all batches, sync once on the last output.
-
-    TPU programs execute in order, so the last output being readable
-    means every enqueued program finished.
-    """
-    _sync(fn(args_list[0]))
-    frames = sum(a.shape[0] for a in args_list)
-    rates = []
-    for _ in range(n_rounds):
-        t0 = time.perf_counter()
-        out = None
-        for a in args_list:
-            out = fn(a)
-        _sync(out)
-        rates.append(frames / (time.perf_counter() - t0))
-    return float(np.median(rates))
+# Sync/timing helpers live in wct_tpu.utils.profiling (single source of
+# truth for the axon-tunnel measurement rules described above).
 
 
 def main() -> None:
@@ -77,6 +46,8 @@ def main() -> None:
 
     from wct_tpu.cli.common import enable_compile_cache
     from wct_tpu.models import cascade
+    from wct_tpu.utils.profiling import latency_seconds as latency
+    from wct_tpu.utils.profiling import pipelined_fps as throughput
 
     enable_compile_cache()
     log = lambda *a: print(*a, file=sys.stderr, flush=True)

@@ -31,32 +31,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _sync(out):
-    _ = float(jax.tree.leaves(out)[0].ravel()[0])
-
-
-def pipelined_fps(fn, inputs, n_rounds=3):
-    _sync(fn(inputs[0]))
-    frames = sum(x.shape[0] for x in inputs)
-    rates = []
-    for _ in range(n_rounds):
-        t0 = time.perf_counter()
-        out = None
-        for x in inputs:
-            out = fn(x)
-        _sync(out)
-        rates.append(frames / (time.perf_counter() - t0))
-    return float(np.median(rates))
+from wct_tpu.utils.profiling import (  # noqa: E402 — single sync source
+    latency_seconds,
+    pipelined_fps,
+    sync_one_element as _sync,
+)
 
 
 def latency_ms(fn, x, n=5):
-    _sync(fn(x))
-    ts = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        _sync(fn(x))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)) * 1000
+    return latency_seconds(fn, x, n) * 1000
 
 
 def main() -> None:

@@ -102,8 +102,9 @@ def cascade_np(params, content, style, alpha, targets):
         fc = encode_np(params["encoder"], img, t)
         fs = encode_np(params["encoder"], style, t)
         f = wct_np(fc, fs, alpha)
-        img = np.clip(decode_np(params["decoders"][t], f, t), 0.0, 1.0)
-    return img
+        img = decode_np(params["decoders"][t], f, t)
+    # Reference semantics: one clip before save.
+    return np.clip(img, 0.0, 1.0)
 
 
 # ---------------------------------------------------------------------------

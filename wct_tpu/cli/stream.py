@@ -165,9 +165,11 @@ def main(argv=None) -> None:
                 if key == ord("q"):
                     break
                 elif key == ord("n"):
+                    args.interpolate = False  # single-style mode now
                     style_idx = (style_idx + 1) % len(styles)
                     engine.set_style(styles[style_idx])
                 elif key == ord("p"):
+                    args.interpolate = False
                     style_idx = (style_idx - 1) % len(styles)
                     engine.set_style(styles[style_idx])
                 elif key in (ord("+"), ord("=")):

@@ -66,6 +66,24 @@ def _prep_content(path: str, args) -> np.ndarray:
     return img
 
 
+def _content_shape(path: str, args) -> tuple[int, int]:
+    """Post-prep (H, W) from the image header only (no pixel decode).
+
+    Lets shape-grouping scan thousands of files without holding their
+    pixels in RAM; the actual decode happens per batch chunk.
+    """
+    from PIL import Image
+
+    with Image.open(path) as im:
+        w, h = im.size
+    if args.content_size:
+        s = args.content_size
+        h, w = (s, max(1, round(w * s / h))) if h < w else (max(1, round(h * s / w)), s)
+    if args.crop_size:
+        return args.crop_size, args.crop_size
+    return h, w
+
+
 def _prep_style(path: str, args, rng, content: np.ndarray | None) -> np.ndarray:
     img = images.get_img(path)
     if args.style_size:
@@ -78,16 +96,25 @@ def _prep_style(path: str, args, rng, content: np.ndarray | None) -> np.ndarray:
     return img
 
 
+_thumb_cache: dict[tuple, np.ndarray] = {}
+
+
+def _style_thumb(s_path: str, size: int) -> np.ndarray:
+    """Style thumbnail for --concat, cached per (style, size) — avoids
+    re-decoding the same style file for every output image."""
+    key = (s_path, size)
+    if key not in _thumb_cache:
+        _thumb_cache[key] = images.resize_exact(images.get_img(s_path), size, size)
+    return _thumb_cache[key]
+
+
 def _save_outputs(stylized_batch, contents, names, s_path, args, out_dir):
     for out, content, name in zip(stylized_batch, contents, names):
         out = np.asarray(out, dtype=np.float32)
         if args.keep_colors:
             out = colors.preserve_colors_np(content, out)
         if args.concat and s_path is not None:
-            thumb = images.resize_exact(
-                images.get_img(s_path), out.shape[0], out.shape[0]
-            )
-            out = np.concatenate([out, thumb], axis=1)
+            out = np.concatenate([out, _style_thumb(s_path, out.shape[0])], axis=1)
         s_name = Path(s_path).stem if s_path else "interp"
         out_file = out_dir / f"{name}_{s_name}.png"
         images.save_img(out_file, out)
@@ -107,21 +134,27 @@ def main(argv=None) -> None:
     style_files = _listdir_or_file(args.style_path)
     print(f"{len(content_files)} content × {len(style_files)} style images")
 
-    if args.interp_weights is not None and len(args.interp_weights) != len(
-        style_files
-    ):
-        raise SystemExit(
-            f"--interp-weights needs {len(style_files)} weights "
-            f"(one per style), got {len(args.interp_weights)}"
-        )
+    if args.interp_weights is not None:
+        if len(args.interp_weights) != len(style_files):
+            raise SystemExit(
+                f"--interp-weights needs {len(style_files)} weights "
+                f"(one per style), got {len(args.interp_weights)}"
+            )
+        if args.coral:
+            raise SystemExit(
+                "--coral cannot combine with --interp-weights: CORAL "
+                "recolors the style per content image while interpolation "
+                "blends one shared style-stat cache"
+            )
 
-    contents = [(Path(p).stem, _prep_content(p, args)) for p in content_files]
     t_start = time.perf_counter()
     n_out = 0
 
     if args.coral:
         # CORAL recolors the style per content image → per-pair path.
-        for name, content in contents:
+        for c_path in content_files:
+            content = _prep_content(c_path, args)
+            name = Path(c_path).stem
             c_dev = common.to_device_img(content)[None]
             for s_path in style_files:
                 style = _prep_style(s_path, args, rng, content)
@@ -132,10 +165,12 @@ def main(argv=None) -> None:
                 _save_outputs(out, [content], [name], s_path, args, out_dir)
                 n_out += 1
     else:
-        # Batch same-shaped content; one style-stat cache per style.
-        groups: dict[tuple, list[tuple[str, np.ndarray]]] = defaultdict(list)
-        for name, content in contents:
-            groups[content.shape].append((name, content))
+        # Group by POST-PREP shape from image headers only — pixels are
+        # decoded lazily per chunk so huge content dirs don't exhaust
+        # host RAM.
+        groups: dict[tuple, list[str]] = defaultdict(list)
+        for c_path in content_files:
+            groups[_content_shape(c_path, args)].append(c_path)
 
         if args.interp_weights is not None:
             caches = [
@@ -165,7 +200,7 @@ def main(argv=None) -> None:
             for group in groups.values():
                 for i in range(0, len(group), args.batch_size):
                     chunk = group[i : i + args.batch_size]
-                    arrs = [c for _, c in chunk]
+                    arrs = [_prep_content(p, args) for p in chunk]
                     # Pad a trailing partial chunk back up to batch_size
                     # (repeat last image, outputs sliced off) so it
                     # reuses the full batch's compiled graph instead of
@@ -178,7 +213,7 @@ def main(argv=None) -> None:
                     _save_outputs(
                         out[: len(chunk)],
                         arrs,
-                        [n for n, _ in chunk],
+                        [Path(p).stem for p in chunk],
                         s_path,
                         args,
                         out_dir,

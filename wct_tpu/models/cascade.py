@@ -58,6 +58,11 @@ class CascadeConfig:
     passes: int = 1
     method: wct_ops.Method = "eigh"
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    # The reference clips to [0,1] only before SAVING (stylize.py:~150);
+    # mid-cascade the decoded image flows unclipped into the next
+    # level's encoder. False = reference semantics (final clip only);
+    # True clamps between levels (can stabilize untrained weights).
+    clip_between_levels: bool = False
     # Grouped (block-diagonal) WCT: channels split into wct_groups
     # independent groups per level (AdaWCT/PhotoWCT²-style). 1 = exact
     # reference behavior; >1 trades coupling across channel groups for
@@ -264,7 +269,10 @@ def stylize_fn(
                 lambda f: _transform_level(f, level, style, alpha, cfg)
             )(feats)
             img = dec_lib.decode(params["decoders"][level], transformed, level)
-            img = jnp.clip(img, 0.0, 1.0)
+            if cfg.clip_between_levels:
+                img = jnp.clip(img, 0.0, 1.0)
+    # Reference clips once before save (stylize.py:~150).
+    img = jnp.clip(img, 0.0, 1.0)
     return img[:, :h, :w, :]
 
 

@@ -25,6 +25,14 @@ CPU tests) and a Pallas TPU kernel that keeps the whole iteration
 resident in VMEM (one HBM read of A, one write of each output — the
 iteration itself never touches HBM).
 
+Which to use: the PURE-XLA path is the production default
+(``method='newton_schulz'``) — under ``vmap`` XLA turns the per-image
+iterations into batched C×C matmuls that saturate the MXU, which the
+per-program Pallas grid cannot match (measured: 3.5 ms vs ~31 ms for
+8×512² on v5e). The Pallas kernel is kept as the single-matrix
+minimal-HBM-traffic variant and as the reference implementation of the
+iteration as an on-chip kernel.
+
 Numerical note: NS is an approximation whose convergence degrades for
 eigenvalues ≪ ‖A‖_F; ``reg`` floors the spectrum (relative to the mean
 diagonal) and plays the role of the reference's 1e-5 rank truncation.

@@ -82,6 +82,45 @@ class StageTimer:
         return "\n".join(lines)
 
 
+def sync_one_element(out) -> None:
+    """Force completion via a SINGLE-element device read.
+
+    On the axon TPU tunnel ``block_until_ready`` is a no-op; reading
+    one element requires the producing program — and everything
+    enqueued before it (TPU executes in order) — to have finished.
+    The canonical sync for all benchmarking (bench.py, bench/configs.py).
+    """
+    leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "ravel")]
+    if leaves:
+        _ = float(leaves[0].ravel()[0])
+
+
+def latency_seconds(fn, arg, n: int = 5) -> float:
+    """Median per-call latency with per-call sync (includes tunnel RTT)."""
+    sync_one_element(fn(arg))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        sync_one_element(fn(arg))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def pipelined_fps(fn, inputs, n_rounds: int = 3) -> float:
+    """Frames/sec: enqueue all inputs, sync once on the last output."""
+    sync_one_element(fn(inputs[0]))
+    frames = sum(x.shape[0] for x in inputs)
+    rates = []
+    for _ in range(n_rounds):
+        t0 = time.perf_counter()
+        out = None
+        for x in inputs:
+            out = fn(x)
+        sync_one_element(out)
+        rates.append(frames / (time.perf_counter() - t0))
+    return float(np.median(rates))
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """jax.profiler trace if the backend supports it; no-op otherwise."""
