@@ -120,6 +120,23 @@ def test_remat_matches_no_remat(enc_params):
     )
 
 
+def test_bfloat16_training_mode(enc_params):
+    cfg = TrainConfig(
+        relu_target="relu1_1", batch_size=2, crop_size=32,
+        compute_dtype="bfloat16", learning_rate=1e-3,
+    )
+    state = init_train_state(jax.random.PRNGKey(3), cfg)
+    batch = jnp.asarray(next(synthetic_batches(2, 32, seed=4)))
+    _, m0 = train_step(state, enc_params, batch, cfg)
+    state = init_train_state(jax.random.PRNGKey(3), cfg)
+    for _ in range(15):
+        state, metrics = train_step(state, enc_params, batch, cfg)
+    # Params stay f32 (only compute casts down); loss finite + falling.
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(state.params))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["loss"]) < float(m0["loss"])
+
+
 def test_eval_step(enc_params):
     from wct_tpu.train import eval_step
 

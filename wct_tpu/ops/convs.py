@@ -39,18 +39,20 @@ def conv2d_reflect(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     x = pad_reflect(x, (kh - 1) // 2)
     # Precision.HIGHEST keeps float32 inputs at true f32 multiply
     # accuracy (fidelity mode); bf16 inputs are unaffected — they hit
-    # the MXU natively and accumulate f32 via preferred_element_type,
-    # which is the throughput mode (CascadeConfig.compute_dtype).
+    # the MXU natively (which accumulates f32 internally), the
+    # throughput mode (CascadeConfig.compute_dtype). Output dtype ==
+    # input dtype: upcasting via preferred_element_type breaks the
+    # BACKWARD conv under bf16 training (f32 cotangent × bf16 filter is
+    # a dtype mismatch in the transpose rule).
     out = jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(1, 1),
         padding="VALID",
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    return (out + b.astype(jnp.float32)).astype(x.dtype)
+    return out + b.astype(out.dtype)
 
 
 def maxpool2(x: jax.Array) -> jax.Array:
