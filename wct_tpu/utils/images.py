@@ -14,7 +14,7 @@ import os
 from pathlib import Path
 
 import numpy as np
-from PIL import Image
+from PIL import Image, ImageOps
 
 IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp", ".tiff")
 
@@ -33,8 +33,13 @@ def list_images(path: str | os.PathLike) -> list[str]:
 
 
 def get_img(path: str | os.PathLike) -> np.ndarray:
-    """Load to float32 RGB in [0, 1], shape [H, W, 3] (reference get_img)."""
-    img = Image.open(path).convert("RGB")
+    """Load to float32 RGB in [0, 1], shape [H, W, 3] (reference get_img).
+
+    Honors EXIF orientation (phone photos would otherwise arrive
+    rotated).
+    """
+    img = Image.open(path)
+    img = ImageOps.exif_transpose(img).convert("RGB")
     return np.asarray(img, dtype=np.float32) / 255.0
 
 
