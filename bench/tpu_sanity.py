@@ -1,0 +1,102 @@
+"""On-device numerics sanity: key invariants run on the REAL accelerator.
+
+    python bench/tpu_sanity.py
+
+The test suite pins numerics on CPU (tests/conftest.py forces an
+8-virtual-device CPU mesh); this harness re-checks the load-bearing
+invariants on the actual TPU, where backend-specific behavior can —
+and did — diverge (the Newton–Schulz iteration silently stalled at ~2 %
+error under TPU default matmul precision until pinned to HIGHEST).
+Exits non-zero on any failure; prints one line per check.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FAILURES = []
+
+
+def check(name: str, ok: bool, detail: str = ""):
+    print(f"{'PASS' if ok else 'FAIL'}: {name} {detail}")
+    if not ok:
+        FAILURES.append(name)
+
+
+def main() -> int:
+    from wct_tpu.models import cascade
+    from wct_tpu.ops import sqrtm, wct as wct_ops
+
+    print(f"device: {jax.devices()[0].device_kind} ({jax.default_backend()})")
+    rng = np.random.default_rng(0)
+
+    # 1. Whitening produces identity covariance (64 ch).
+    f = (rng.standard_normal((32, 32, 64)) * 2 + 1).astype(np.float32)
+    kern, mu = wct_ops.whitening_kernel(jnp.asarray(f))
+    white = (f.reshape(-1, 64) - np.asarray(mu)) @ np.asarray(kern)
+    cov = np.cov(white, rowvar=False)
+    err = np.abs(cov - np.eye(64)).max()
+    check("whitening identity covariance (eigh)", err < 2e-2, f"max dev {err:.2e}")
+
+    # 2. Newton–Schulz converges on-device (the historic failure mode).
+    a = rng.standard_normal((512, 512)).astype(np.float32)
+    a = a @ a.T + 512 * np.eye(512, dtype=np.float32)
+    sq, isq = sqrtm.newton_schulz_sqrtm(jnp.asarray(a))
+    sq_h = np.asarray(sq).astype(np.float64)
+    rel = np.abs(sq_h @ sq_h - a).max() / np.abs(a).max()
+    check("Newton–Schulz sqrt convergence @512", rel < 1e-3, f"rel err {rel:.2e}")
+
+    # 3. WCT colored output matches style covariance.
+    fc = rng.standard_normal((24, 24, 32)).astype(np.float32)
+    fs = (rng.standard_normal((24, 24, 32)) * 2 - 1).astype(np.float32)
+    out = np.asarray(wct_ops.wct(jnp.asarray(fc), jnp.asarray(fs), 1.0))
+    cov_gap = np.abs(
+        np.cov(out.reshape(-1, 32), rowvar=False)
+        - np.cov(fs.reshape(-1, 32), rowvar=False)
+    ).max()
+    check("WCT matches style covariance", cov_gap < 0.25, f"max gap {cov_gap:.3f}")
+
+    # 4. alpha=0 is the identity through the full kernel path.
+    out0 = np.asarray(wct_ops.wct(jnp.asarray(fc), jnp.asarray(fs), 0.0))
+    id_err = np.abs(out0 - fc).max()
+    check("WCT alpha=0 identity", id_err < 1e-3, f"max dev {id_err:.2e}")
+
+    # 5. Full cascade: finite, in range, shape-preserving (non-multiple size).
+    params = cascade.init_params(jax.random.PRNGKey(0))
+    cfg = cascade.CascadeConfig()
+    content = rng.random((1, 200, 184, 3)).astype(np.float32)
+    style = rng.random((192, 192, 3)).astype(np.float32)
+    cache = cascade.precompute_style(params["encoder"], jnp.asarray(style), cfg)
+    res = cascade.stylize(params, jnp.asarray(content), cache, 0.7, cfg)
+    res_h = np.asarray(res)
+    check(
+        "full cascade shape/range/finite",
+        res_h.shape == (1, 200, 184, 3)
+        and np.isfinite(res_h).all()
+        and res_h.min() >= 0
+        and res_h.max() <= 1,
+        f"shape {res_h.shape}",
+    )
+
+    # 6. Batch bitwise stability on-device.
+    c3 = np.concatenate([content] * 3)
+    full = np.asarray(cascade.stylize(params, jnp.asarray(c3), cache, 0.7, cfg))
+    check(
+        "bitwise batch stability",
+        np.array_equal(full[0], res_h[0]),
+        f"max dev {np.abs(full[0] - res_h[0]).max():.2e}",
+    )
+
+    print(f"{6 - len(FAILURES)}/6 checks passed")
+    return 1 if FAILURES else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -116,6 +116,56 @@ class TestWCT:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestSoftTruncation:
+    def test_matches_hard_when_well_conditioned(self, rng):
+        # Full-rank Gram with eigenvalues ≫ trunc: soft ≈ hard.
+        fc = _feat(rng, c=8, scale=2.0)
+        fs = _feat(rng, h=9, w=7, c=8, scale=1.5)
+        hard = wct_ops.wct(jnp.asarray(fc), jnp.asarray(fs), 1.0)
+        soft = wct_ops.wct(jnp.asarray(fc), jnp.asarray(fs), 1.0, soft_trunc=True)
+        np.testing.assert_allclose(
+            np.asarray(hard), np.asarray(soft), atol=1e-3, rtol=1e-3
+        )
+
+    def test_continuous_through_threshold(self, rng):
+        # Build features with ONE mode whose variance sits exactly at
+        # the 1e-5 threshold; nudging it ±5% makes the HARD mask flip
+        # the whole mode (kernel jump ~ trunc^{-1/2} ≈ 316) while the
+        # SOFT filter responds proportionally. The base channels are
+        # given small variance (4e-5) so fp32 eigh noise (~1e-7·‖A‖)
+        # stays far below the nudge, and the edge mode is exactly
+        # orthogonalized against them so its eigenvalue IS its variance.
+        n, c = 256, 8
+        base = rng.standard_normal((n, c - 1)).astype(np.float64)
+        base -= base.mean(0)
+        base *= np.sqrt(4e-5) / base.std(0, ddof=1)
+        edge = rng.standard_normal((n, 1)).astype(np.float64)
+        edge -= edge.mean(0)
+        edge -= base @ np.linalg.lstsq(base, edge, rcond=None)[0]
+        edge *= np.sqrt(n - 1) / np.linalg.norm(edge)
+
+        def feats(scale):
+            f = np.concatenate([base, edge * np.sqrt(scale)], axis=1)
+            return jnp.asarray(f.reshape(16, 16, c), jnp.float32)
+
+        t = wct_ops.DEFAULT_TRUNC
+        deltas = {}
+        for soft in (False, True):
+            k_lo, _ = wct_ops.whitening_kernel(feats(t * 0.95), soft_trunc=soft)
+            k_hi, _ = wct_ops.whitening_kernel(feats(t * 1.05), soft_trunc=soft)
+            deltas[soft] = float(jnp.abs(k_hi - k_lo).max())
+        # Hard flips the mode (hundreds); soft moves proportionally.
+        assert deltas[False] > 50, f"hard delta {deltas[False]}"
+        assert deltas[True] < deltas[False] / 10, (
+            f"soft {deltas[True]} vs hard {deltas[False]}"
+        )
+
+    def test_finite_on_rank_deficient(self, rng):
+        f = _feat(rng, h=2, w=2, c=32)
+        k, mu = wct_ops.whitening_kernel(jnp.asarray(f), soft_trunc=True)
+        assert np.all(np.isfinite(np.asarray(k)))
+
+
 class TestGroupedWCT:
     def test_groups_one_matches_plain(self, rng):
         fc, fs = _feat(rng, c=16), _feat(rng, h=9, w=7, c=16)

@@ -66,6 +66,13 @@ def add_model_flags(p: argparse.ArgumentParser) -> None:
         help="conv compute dtype (bfloat16 = throughput mode)",
     )
     p.add_argument(
+        "--soft-trunc",
+        action="store_true",
+        help="continuous eigenvalue filter instead of the hard 1e-5 "
+        "truncation (batch-stable on rank-deficient features; default "
+        "is exact reference behavior)",
+    )
+    p.add_argument(
         "--wct-groups",
         type=int,
         default=1,
@@ -104,6 +111,7 @@ def config_from_args(args: argparse.Namespace) -> cascade.CascadeConfig:
         method=args.method,
         compute_dtype=args.dtype,
         wct_groups=args.wct_groups,
+        soft_trunc=args.soft_trunc,
     )
 
 

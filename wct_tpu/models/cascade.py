@@ -63,6 +63,11 @@ class CascadeConfig:
     # level's encoder. False = reference semantics (final clip only);
     # True clamps between levels (can stabilize untrained weights).
     clip_between_levels: bool = False
+    # Continuous eigenvalue filter instead of the reference's hard 1e-5
+    # truncation: immune to the knife-edge mode flips that fp-level
+    # input noise (e.g. batch-shape-dependent XLA conv fusion) causes on
+    # rank-deficient Grams. False = exact reference semantics.
+    soft_trunc: bool = False
     # Grouped (block-diagonal) WCT: channels split into wct_groups
     # independent groups per level (AdaWCT/PhotoWCT²-style). 1 = exact
     # reference behavior; >1 trades coupling across channel groups for
@@ -164,7 +169,8 @@ def precompute_style(
             adain_st = adain_ops.adain_stats(fs)
         else:
             stats = wct_ops.style_stats(
-                fs, method=cfg.method, groups=cfg.wct_groups
+                fs, method=cfg.method, groups=cfg.wct_groups,
+                soft_trunc=cfg.soft_trunc,
             )
         cache[level] = LevelStyle(stats=stats, adain=adain_st, fs_white=fs_white)
     return cache
@@ -228,7 +234,8 @@ def _transform_level(
     if cfg.transform == "adain":
         return adain_ops.adain_from_stats(fc, style.adain, alpha)
     return wct_ops.wct_from_stats(
-        fc, style.stats, alpha, method=cfg.method, groups=cfg.wct_groups
+        fc, style.stats, alpha, method=cfg.method, groups=cfg.wct_groups,
+        soft_trunc=cfg.soft_trunc,
     )
 
 

@@ -82,16 +82,32 @@ def _flatten_hwc(f: jax.Array) -> jax.Array:
     return f.reshape(h * w, c)
 
 
-def _sym_pow(cov: jax.Array, power: float, trunc: float) -> jax.Array:
+def _sym_pow(
+    cov: jax.Array, power: float, trunc: float, soft: bool = False
+) -> jax.Array:
     """Symmetric matrix power via eigh with static-shape rank truncation.
 
     Returns ``U diag(m(S)·S^power) Uᵀ`` where ``m(S) = S > trunc`` —
     the reference's "keep singular values > 1e-5" (ops.py:~95) as a
     mask instead of a dynamic slice (XLA needs static shapes).
+
+    ``soft=True`` replaces the hard mask with the continuous filter
+    ``s² / (s² + trunc²)`` (Tikhonov-style). The hard threshold is a
+    knife edge: an eigenvalue hovering at ``trunc`` flips its entire
+    mode in/out of the whitening under fp-level input noise (e.g.
+    XLA fusing convs differently per batch shape), discontinuously
+    changing the output. The soft filter matches the hard mask away
+    from the threshold and is Lipschitz through it — the batch-stable
+    production choice for rank-deficient features; hard is the exact
+    reference behavior.
     """
     s, u = jnp.linalg.eigh(cov)  # ascending eigenvalues
-    keep = s > trunc
-    s_pow = jnp.where(keep, jnp.sign(s) * jnp.abs(s) ** power, 0.0)
+    if soft:
+        filt = s * s / (s * s + trunc * trunc)
+        s_pow = filt * jnp.sign(s) * jnp.abs(jnp.maximum(s, trunc * 1e-3)) ** power
+    else:
+        keep = s > trunc
+        s_pow = jnp.where(keep, jnp.sign(s) * jnp.abs(s) ** power, 0.0)
     return (u * s_pow[None, :]) @ u.T
 
 
@@ -116,13 +132,19 @@ def _gram(f_flat: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def _sqrt_kernels(
-    cov: jax.Array, power: float, trunc: float, method: Method
+    cov: jax.Array, power: float, trunc: float, method: Method,
+    soft: bool = False,
 ) -> jax.Array:
-    """cov^{power} for power = ±1/2 with the selected eigensolver."""
+    """cov^{power} for power = ±1/2 with the selected eigensolver.
+
+    ``soft`` selects the continuous truncation filter (see _sym_pow);
+    the Newton–Schulz paths are inherently smooth (their ``reg``
+    spectrum floor is continuous), so ``soft`` only affects eigh.
+    """
     if method == "auto":
         method = "eigh" if cov.shape[-1] <= _AUTO_EIGH_MAX_C else "newton_schulz"
     if method == "eigh":
-        return _sym_pow(cov, power, trunc)
+        return _sym_pow(cov, power, trunc, soft=soft)
     if method in ("newton_schulz", "newton_schulz_pallas"):
         # Lazy import: keeps ops.wct importable without pallas deps.
         from wct_tpu.ops import sqrtm
@@ -140,6 +162,7 @@ def whitening_kernel(
     trunc: float = DEFAULT_TRUNC,
     method: Method = "eigh",
     groups: int = 1,
+    soft_trunc: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Whitening matrix + mean for content features ``fc: [H, W, C]``.
 
@@ -151,11 +174,13 @@ def whitening_kernel(
     if groups == 1:
         cov, mean = _gram(f_flat)
         cov = cov + eps * jnp.eye(cov.shape[0], dtype=cov.dtype)
-        return _sqrt_kernels(cov, -0.5, trunc, method), mean
+        return _sqrt_kernels(cov, -0.5, trunc, method, soft=soft_trunc), mean
     covs, mean = _grouped_gram(f_flat, groups)
     cg = covs.shape[-1]
     covs = covs + eps * jnp.eye(cg, dtype=covs.dtype)[None]
-    kernel = jax.vmap(lambda c: _sqrt_kernels(c, -0.5, trunc, method))(covs)
+    kernel = jax.vmap(
+        lambda c: _sqrt_kernels(c, -0.5, trunc, method, soft=soft_trunc)
+    )(covs)
     return kernel, mean
 
 
@@ -201,6 +226,7 @@ def style_stats(
     trunc: float = DEFAULT_TRUNC,
     method: Method = "eigh",
     groups: int = 1,
+    soft_trunc: bool = False,
 ) -> StyleStats:
     """Compute cacheable coloring statistics from style features [H, W, C].
 
@@ -218,12 +244,14 @@ def style_stats(
     if groups == 1:
         cov, mean = _gram(f_flat)
         cov = cov + eps * jnp.eye(cov.shape[0], dtype=cov.dtype)
-        kernel = _sqrt_kernels(cov, 0.5, trunc, method)
+        kernel = _sqrt_kernels(cov, 0.5, trunc, method, soft=soft_trunc)
         return StyleStats(kernel=kernel, mean=mean)
     covs, mean = _grouped_gram(f_flat, groups)
     cg = covs.shape[-1]
     covs = covs + eps * jnp.eye(cg, dtype=covs.dtype)[None]
-    kernel = jax.vmap(lambda c: _sqrt_kernels(c, 0.5, trunc, method))(covs)
+    kernel = jax.vmap(
+        lambda c: _sqrt_kernels(c, 0.5, trunc, method, soft=soft_trunc)
+    )(covs)
     return StyleStats(kernel=kernel, mean=mean)
 
 
@@ -278,6 +306,7 @@ def wct_from_stats(
     trunc: float = DEFAULT_TRUNC,
     method: Method = "eigh",
     groups: int = 1,
+    soft_trunc: bool = False,
 ) -> jax.Array:
     """Apply WCT to content features [H, W, C] given cached style stats.
 
@@ -292,7 +321,8 @@ def wct_from_stats(
     f_flat = _flatten_hwc(fc).astype(jnp.float32)
 
     w_c, mu_c = whitening_kernel(
-        fc, eps=eps, trunc=trunc, method=method, groups=groups
+        fc, eps=eps, trunc=trunc, method=method, groups=groups,
+        soft_trunc=soft_trunc,
     )
     k_s = stats.kernel.astype(jnp.float32)
     if w_c.ndim != k_s.ndim:
@@ -331,6 +361,7 @@ def wct(
     trunc: float = DEFAULT_TRUNC,
     method: Method = "eigh",
     groups: int = 1,
+    soft_trunc: bool = False,
 ) -> jax.Array:
     """Whitening–coloring transform, single image.
 
@@ -341,9 +372,13 @@ def wct(
     ``wct_batched``. ``groups > 1`` selects grouped (block-diagonal)
     WCT — see ``style_stats``.
     """
-    stats = style_stats(fs, eps=eps, trunc=trunc, method=method, groups=groups)
+    stats = style_stats(
+        fs, eps=eps, trunc=trunc, method=method, groups=groups,
+        soft_trunc=soft_trunc,
+    )
     return wct_from_stats(
-        fc, stats, alpha, eps=eps, trunc=trunc, method=method, groups=groups
+        fc, stats, alpha, eps=eps, trunc=trunc, method=method, groups=groups,
+        soft_trunc=soft_trunc,
     )
 
 
