@@ -31,8 +31,11 @@ def check(name: str, ok: bool, detail: str = ""):
 
 
 def main() -> int:
+    from wct_tpu.cli.common import enable_compile_cache
     from wct_tpu.models import cascade
     from wct_tpu.ops import sqrtm, wct as wct_ops
+
+    enable_compile_cache()
 
     print(f"device: {jax.devices()[0].device_kind} ({jax.default_backend()})")
     rng = np.random.default_rng(0)
@@ -85,16 +88,41 @@ def main() -> int:
         f"shape {res_h.shape}",
     )
 
-    # 6. Batch bitwise stability on-device.
-    c3 = np.concatenate([content] * 3)
-    full = np.asarray(cascade.stylize(params, jnp.asarray(c3), cache, 0.7, cfg))
-    check(
-        "bitwise batch stability",
-        np.array_equal(full[0], res_h[0]),
-        f"max dev {np.abs(full[0] - res_h[0]).max():.2e}",
-    )
+    # 6–7. Bitwise batch-size stability (the north star's property):
+    # an image's output must not depend on the batch it was submitted
+    # in. Guaranteed by the fixed-microbatch serving path — every
+    # request runs through the SAME compiled [microbatch,...] program
+    # (XLA's conv tilings are per-batch-shape, so DIFFERENT batch-shape
+    # programs diverge at the ULP level and untrained decoders amplify
+    # that; see ops/reductions.py + stylize_microbatched docstrings).
+    # Batch neighbors are DISTINCT images so this also verifies that a
+    # slot's output is independent of its neighbors' data.
+    others = rng.random((2, 200, 184, 3)).astype(np.float32)
+    batch3 = np.concatenate([content, others])
+    for name, cfg_b in (
+        ("f32/eigh", cfg),
+        ("bf16/NS", cascade.CascadeConfig(
+            compute_dtype="bfloat16", method="newton_schulz")),
+    ):
+        cache_b = cascade.precompute_style(
+            params["encoder"], jnp.asarray(style), cfg_b
+        )
+        # Upcast before numpy compare: ml_dtypes bfloat16 ndarrays
+        # don't support the arithmetic numpy needs here (bf16→f32 is
+        # injective, so float32 equality IS bitwise bf16 equality).
+        solo = np.asarray(cascade.stylize_microbatched(
+            params, jnp.asarray(content), cache_b, 0.7, cfg_b, microbatch=2
+        ).astype(jnp.float32))
+        inb = np.asarray(cascade.stylize_microbatched(
+            params, jnp.asarray(batch3), cache_b, 0.7, cfg_b, microbatch=2
+        ).astype(jnp.float32))
+        check(
+            f"bitwise batch-size stability ({name}, microbatched)",
+            np.array_equal(inb[0], solo[0]),
+            f"max dev {np.abs(inb[0] - solo[0]).max():.2e}",
+        )
 
-    print(f"{6 - len(FAILURES)}/6 checks passed")
+    print(f"{7 - len(FAILURES)}/7 checks passed")
     return 1 if FAILURES else 0
 
 

@@ -148,6 +148,37 @@ class TestCascade:
         one = cascade.stylize(params, jnp.asarray(content), cache, 1.0, cfg)
         np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(one[0]))
 
+    def test_microbatched_matches_per_image(self, params, imgs):
+        # The fixed-microbatch serving path: DISTINCT images, batch of
+        # 5 through microbatch=2 (pad + 3 chunks) must reproduce each
+        # image's solo-submission output bitwise, in order.
+        content, style = imgs
+        rng = np.random.default_rng(9)
+        batch = np.concatenate(
+            [content] + [rng.random(content.shape, np.float32) for _ in range(4)]
+        )
+        cfg = cascade.CascadeConfig(relu_targets=("relu2_1", "relu1_1"))
+        cache = cascade.precompute_style(params["encoder"], jnp.asarray(style), cfg)
+        out = cascade.stylize_microbatched(
+            params, jnp.asarray(batch), cache, 0.8, cfg, microbatch=2
+        )
+        assert out.shape == batch.shape
+        for i in range(5):
+            solo = cascade.stylize_microbatched(
+                params, jnp.asarray(batch[i : i + 1]), cache, 0.8, cfg,
+                microbatch=2,
+            )
+            np.testing.assert_array_equal(np.asarray(out[i]), np.asarray(solo[0]))
+
+    def test_microbatched_rejects_bad_size(self, params, imgs):
+        content, style = imgs
+        cfg = cascade.CascadeConfig(relu_targets=("relu1_1",))
+        cache = cascade.precompute_style(params["encoder"], jnp.asarray(style), cfg)
+        with pytest.raises(ValueError, match="microbatch"):
+            cascade.stylize_microbatched(
+                params, jnp.asarray(content), cache, 1.0, cfg, microbatch=0
+            )
+
     def test_interpolation(self, params, imgs):
         content, style = imgs
         rng = np.random.default_rng(3)

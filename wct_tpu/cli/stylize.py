@@ -198,20 +198,25 @@ def main(argv=None) -> None:
 
         for s_path, cache in pairs:
             for group in groups.values():
+                # ONE fixed-batch program per shape group: partial
+                # chunks are padded inside stylize_microbatched, so
+                # every image of the group runs through the same
+                # compiled graph — no remainder recompile, and outputs
+                # are bitwise-independent of how files batched up.
+                micro = min(args.batch_size, len(group))
                 for i in range(0, len(group), args.batch_size):
                     chunk = group[i : i + args.batch_size]
                     arrs = [_prep_content(p, args) for p in chunk]
-                    # Pad a trailing partial chunk back up to batch_size
-                    # (repeat last image, outputs sliced off) so it
-                    # reuses the full batch's compiled graph instead of
-                    # paying a fresh cascade compile for the remainder.
-                    pad_n = (args.batch_size - len(chunk)) if i > 0 else 0
-                    batch = jnp.asarray(
-                        np.stack(arrs + [arrs[-1]] * pad_n), jnp.float32
+                    out = cascade.stylize_microbatched(
+                        params,
+                        jnp.asarray(np.stack(arrs), jnp.float32),
+                        cache,
+                        args.alpha,
+                        cfg,
+                        microbatch=micro,
                     )
-                    out = cascade.stylize(params, batch, cache, args.alpha, cfg)
                     _save_outputs(
-                        out[: len(chunk)],
+                        out,
                         arrs,
                         [Path(p).stem for p in chunk],
                         s_path,

@@ -10,5 +10,6 @@ from wct_tpu.models.cascade import (  # noqa: F401
     stylize,
     stylize_fn,
     stylize_interp,
+    stylize_microbatched,
     stylize_pair,
 )

@@ -325,3 +325,49 @@ def stylize_pair(
     """Convenience: single content [H,W,3] × style [H',W',3] → [H,W,3]."""
     cache = precompute_style(params["encoder"], style, cfg)
     return stylize(params, content[None], cache, alpha, cfg)[0]
+
+
+def stylize_microbatched(
+    params: dict,
+    content: jax.Array,
+    style_cache: StyleCache,
+    alpha: jax.Array | float,
+    cfg: CascadeConfig,
+    microbatch: int = 8,
+) -> jax.Array:
+    """Bitwise batch-size-stable serving: pad + chunk to a FIXED batch.
+
+    The north star (BASELINE.json) requires an image's stylization to
+    be bitwise-independent of the batch it was submitted in. Per-image
+    math alone does not deliver that on TPU: XLA picks conv/reduction
+    tilings PER COMPILED BATCH SHAPE, so programs compiled for batch 1
+    vs batch 3 differ at the ULP level in some conv shapes (measured
+    in the decoder stack on v5e), and ULPs amplify through untrained
+    decoders. This wrapper therefore routes every request through the
+    SAME ``[microbatch, H, W, 3]`` program: batches are padded (with
+    repeats of the last frame) and chunked OUTSIDE jit, so one
+    executable — hence one tiling — serves every batch size. Batch
+    entries are mathematically independent, so an image's output slot
+    never depends on its neighbors' data.
+
+    Cost: padding waste on the final partial chunk. Use the serving
+    batch as ``microbatch`` for throughput (e.g. 16 — identical speed
+    to ``stylize`` on full batches); latency-critical streaming keeps
+    calling ``stylize`` with batch 1 (one fixed program → stable too,
+    but its bits differ from a ``microbatch=N`` program's — like any
+    config change). Also bounds compile count to ONE batch shape.
+    """
+    if microbatch < 1:
+        raise ValueError(f"microbatch must be ≥ 1, got {microbatch}")
+    b = content.shape[0]
+    outs = []
+    for i in range(0, b, microbatch):
+        chunk = content[i : i + microbatch]
+        pad = microbatch - chunk.shape[0]
+        if pad:
+            chunk = jnp.concatenate(
+                [chunk, jnp.repeat(chunk[-1:], pad, axis=0)]
+            )
+        out = stylize(params, chunk, style_cache, alpha, cfg)
+        outs.append(out[: microbatch - pad])
+    return jnp.concatenate(outs)

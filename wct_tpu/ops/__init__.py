@@ -8,8 +8,16 @@ package exposes MODULES, not bare functions — use ``ops.wct.wct``):
 - ``style_swap`` — patch nearest-neighbor swap in whitened space
 - ``sqrtm``      — Newton–Schulz matrix ±sqrt (XLA + Pallas)
 - ``convs``      — reflect-pad conv, maxpool, NN-upsample primitives
+- ``reductions`` — batch-bitwise-stable sum reductions (MXU form)
 """
 
-from wct_tpu.ops import adain, convs, sqrtm, style_swap, wct  # noqa: F401
+from wct_tpu.ops import (  # noqa: F401
+    adain,
+    convs,
+    reductions,
+    sqrtm,
+    style_swap,
+    wct,
+)
 
-__all__ = ["adain", "convs", "sqrtm", "style_swap", "wct"]
+__all__ = ["adain", "convs", "reductions", "sqrtm", "style_swap", "wct"]

@@ -17,6 +17,8 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+from wct_tpu.ops.reductions import moments0
+
 # Reference uses eps=1e-5 inside the variance normalization
 # (tf.nn.moments + rsqrt; ops.py:~45).
 DEFAULT_EPS = 1e-5
@@ -32,10 +34,13 @@ class AdainStats:
 
 
 def adain_stats(fs: jax.Array, eps: float = DEFAULT_EPS) -> AdainStats:
-    """Channel mean/std of style features ``[H, W, C]`` (float32 accum)."""
-    f32 = fs.astype(jnp.float32)
-    mean = jnp.mean(f32, axis=(0, 1))
-    var = jnp.var(f32, axis=(0, 1))
+    """Channel mean/std of style features ``[H, W, C]`` (float32 accum).
+
+    Moments are MXU contractions (ops/reductions.py) so content-side
+    use is bitwise-identical at any batch size.
+    """
+    f32 = fs.astype(jnp.float32).reshape(-1, fs.shape[-1])
+    mean, var = moments0(f32)
     return AdainStats(mean=mean, std=jnp.sqrt(var + eps))
 
 
@@ -48,8 +53,7 @@ def adain_from_stats(
     """AdaIN on content features ``[H, W, C]`` with cached style moments."""
     in_dtype = fc.dtype
     f32 = fc.astype(jnp.float32)
-    mu_c = jnp.mean(f32, axis=(0, 1))
-    var_c = jnp.var(f32, axis=(0, 1))
+    mu_c, var_c = moments0(f32.reshape(-1, f32.shape[-1]))
     inv_std_c = jax.lax.rsqrt(var_c + eps)
     out = stats.std * (f32 - mu_c) * inv_std_c + stats.mean
     alpha = jnp.asarray(alpha, dtype=jnp.float32)

@@ -48,6 +48,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from wct_tpu.ops import reductions
+
 DEFAULT_ITERS = 20
 DEFAULT_REG = 1e-5
 # f32 min tile is (8, 128); keep the lane dim a multiple of 128 so the
@@ -98,8 +100,11 @@ def newton_schulz_sqrtm(
 
     c = cov.shape[-1]
     a = cov.astype(jnp.float32)
-    a = a + (reg * jnp.trace(a) / c) * jnp.eye(c, dtype=a.dtype)
-    norm = jnp.max(jnp.sum(jnp.abs(a), axis=-1))  # ‖A‖_∞ ≥ λ_max
+    # trace/∞-norm as MXU contractions: plain sum reductions are tiled
+    # batch-dependently by XLA, breaking bitwise batch stability
+    # (ops/reductions.py).
+    a = a + (reg * reductions.trace(a) / c) * jnp.eye(c, dtype=a.dtype)
+    norm = reductions.inf_norm(a)  # ‖A‖_∞ ≥ λ_max
     y, z = _ns_iterations(a / norm, num_iters)
     sqrt_norm = jnp.sqrt(norm)
     return y * sqrt_norm, z / sqrt_norm

@@ -26,6 +26,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from wct_tpu.ops import reductions
 from wct_tpu.ops import wct as wct_ops
 
 _DN = ("NHWC", "HWIO", "NHWC")
@@ -98,7 +99,12 @@ def style_swap(
 
     filters = extract_patches(fs_white, ps, stride)  # [ps, ps, C, P]
     p = filters.shape[-1]
-    norms = jnp.sqrt(jnp.sum(filters.astype(jnp.float32) ** 2, axis=(0, 1, 2)))
+    # Patch norms as an MXU contraction (ops/reductions.py): a plain
+    # sum is tiled batch-dependently by XLA, and a flipped ULP here can
+    # swing the argmax between near-tied patches — breaking bitwise
+    # batch stability.
+    f32 = filters.astype(jnp.float32)
+    norms = jnp.sqrt(reductions.sum0((f32 * f32).reshape(-1, p)))
     filters_n = filters / jnp.maximum(norms, 1e-8)[None, None, None, :]
 
     # Correlation of every content location with every style patch.

@@ -45,6 +45,8 @@ from typing import Literal
 import jax
 import jax.numpy as jnp
 
+from wct_tpu.ops import reductions
+
 # Reference ops.py:~70 uses eps=1e-8 on the Gram diagonal and truncates
 # eigenvalues at 1e-5 (SURVEY.md §A.2).
 DEFAULT_EPS = 1e-8
@@ -116,18 +118,15 @@ def _gram(f_flat: jax.Array) -> tuple[jax.Array, jax.Array]:
 
     Returns ``(cov [C, C], mean [C])`` with ``cov = fᵀf/(N−1)``
     (reference ops.py:~80). Accumulates in float32 regardless of input
-    dtype so bf16 feature maps still get accurate covariances.
+    dtype so bf16 feature maps still get accurate covariances. The
+    mean is an MXU contraction (ops/reductions.py) so the result is
+    bitwise-identical at any batch size.
     """
     n = f_flat.shape[0]
     f32 = f_flat.astype(jnp.float32)
-    mean = jnp.mean(f32, axis=0)
+    mean = reductions.mean0(f32)
     centered = f32 - mean[None, :]
-    cov = jax.lax.dot_general(
-        centered,
-        centered,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) / (n - 1)
+    cov = reductions.gram0(centered) / (n - 1)
     return cov, mean
 
 
@@ -261,22 +260,45 @@ def _grouped_gram(f_flat: jax.Array, groups: int) -> tuple[jax.Array, jax.Array]
     if c % groups:
         raise ValueError(f"channels {c} not divisible by groups {groups}")
     f32 = f_flat.astype(jnp.float32)
-    mean = jnp.mean(f32, axis=0)
+    mean = reductions.mean0(f32)
     centered = (f32 - mean[None, :]).reshape(n, groups, c // groups)
-    covs = jnp.einsum("ngc,ngd->gcd", centered, centered,
-                      preferred_element_type=jnp.float32) / (n - 1)
+    # Batch-stable per-group Grams (ops/reductions.py).
+    covs = reductions.gram0_batched(jnp.transpose(centered, (1, 0, 2))) / (n - 1)
     return covs, mean
 
 
 def _apply_kernel(x: jax.Array, kernel: jax.Array) -> jax.Array:
-    """x [N, C] @ kernel, where kernel is [C, C] or block-diag [G, Cg, Cg]."""
+    """x [N, C] @ kernel, where kernel is [C, C] or block-diag [G, Cg, Cg].
+
+    Runs at HIGHEST precision: with the α-blend folded into the kernel
+    (see ``wct_from_stats``) the content features themselves pass
+    through this matmul, and TPU-default single-pass bf16 multiplies
+    would put a ~4e-3 relative floor under the fidelity (f32+eigh)
+    path. The extra passes are negligible next to the cascade's convs
+    (≤4 % of frame FLOPs, and these small-C matmuls are bandwidth-bound
+    anyway).
+    """
     if kernel.ndim == 2:
-        return x @ kernel
+        return jax.lax.dot_general(
+            x, kernel,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     n, c = x.shape
     g, cg, _ = kernel.shape
-    out = jnp.einsum("ngc,gcd->ngd", x.reshape(n, g, cg), kernel,
-                     preferred_element_type=jnp.float32)
-    return out.reshape(n, c)
+    # Canonical batched matmul [g, n, cg] @ [g, cg, cg] (einsum's
+    # "ngc,gcd->ngd" layout re-tiles per batch shape — reductions.py).
+    # Already canonical (contract lhs dim 2 × rhs dim 1), so it is
+    # batch-stable on both backends unchanged.
+    xg = jnp.transpose(x.reshape(n, g, cg), (1, 0, 2))
+    out = jax.lax.dot_general(
+        xg, kernel,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.transpose(out, (1, 0, 2)).reshape(n, c)
 
 
 def interpolate_stats(stats: list[StyleStats], weights: jax.Array) -> StyleStats:
@@ -310,11 +332,21 @@ def wct_from_stats(
 ) -> jax.Array:
     """Apply WCT to content features [H, W, C] given cached style stats.
 
-    The whitening rotation and the coloring kernel are folded into one
-    C×C (or per-group Cg×Cg) transform before the [N, C] feature matrix
-    is touched, so the per-pixel work is a single MXU matmul:
+    The whitening rotation, the coloring kernel, AND the alpha blend
+    are folded into one C×C (or per-group Cg×Cg) affine transform
+    before the [N, C] feature matrix is touched, so the per-pixel work
+    is a single MXU matmul plus a fused bias — the feature map is read
+    once and written once (HBM bandwidth is the budget at relu1_1,
+    where [N, C] is 64 MB at 512px):
 
-        out = (fc − μ_c) @ (W_c @ K_s) + μ_s
+        T   = W_c @ K_s
+        out = fc @ (α·T + (1−α)·I) + α·(μ_s − μ_c @ T)
+
+    which equals the reference's ``α·((fc − μ_c)·T + μ_s) + (1−α)·fc``
+    (ops.py:~135 — blend against the ORIGINAL, uncentered content
+    features). At α=0 the matrix is exactly I and the bias exactly 0,
+    so the identity property holds to matmul rounding (exact on CPU;
+    ~1e-7 relative on the MXU at HIGHEST precision).
     """
     h, w, c = fc.shape
     in_dtype = fc.dtype
@@ -331,24 +363,28 @@ def wct_from_stats(
             f"(kernel ranks {w_c.ndim} vs {k_s.ndim}) — precompute the "
             "style with the same `groups`"
         )
+    alpha = jnp.asarray(alpha, dtype=jnp.float32)
+    mu_s = stats.mean.astype(jnp.float32)
     if w_c.ndim == 2:
         transform = jax.lax.dot_general(
             w_c, k_s,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        eye = jnp.eye(c, dtype=jnp.float32)
+        mu_c_t = reductions.vecmat(mu_c, transform)
     else:
         transform = jnp.einsum(
             "gab,gbc->gac", w_c, k_s, preferred_element_type=jnp.float32
         )
-    colored = _apply_kernel(f_flat - mu_c[None, :], transform) + stats.mean.astype(
-        jnp.float32
-    )[None, :]
-
-    # Reference ops.py:~135 blends against the ORIGINAL (uncentered)
-    # content features.
-    alpha = jnp.asarray(alpha, dtype=jnp.float32)
-    out = alpha * colored + (1.0 - alpha) * f_flat
+        g, cg, _ = transform.shape
+        eye = jnp.broadcast_to(jnp.eye(cg, dtype=jnp.float32), (g, cg, cg))
+        mu_c_t = jax.vmap(reductions.vecmat)(
+            mu_c.reshape(g, cg), transform
+        ).reshape(c)
+    blended = alpha * transform + (1.0 - alpha) * eye
+    bias = alpha * (mu_s - mu_c_t)
+    out = _apply_kernel(f_flat, blended) + bias[None, :]
     return out.reshape(h, w, c).astype(in_dtype)
 
 
