@@ -216,6 +216,34 @@ def test_train_cli_resume(tmp_path):
     assert max(steps) >= 4
 
 
+def test_train_cli_resume_orbax(tmp_path):
+    from wct_tpu.cli import train as cli
+
+    ckpt = tmp_path / "ckpt"
+    common = [
+        "--relu-target", "relu1_1",
+        "--synthetic",
+        "--checkpoint-dir", str(ckpt),
+        "--batch-size", "2",
+        "--crop-size", "32",
+        "--save-iter", "2",
+        "--summary-iter", "2",
+        "--ckpt-format", "orbax",
+    ]
+    cli.main(common + ["--max-iter", "2"])
+    assert (ckpt / "orbax").is_dir()
+    cli.main(common + ["--max-iter", "4", "--resume"])
+    import json
+
+    steps = [
+        json.loads(line)["step"]
+        for line in (ckpt / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert max(steps) >= 4
+    # Resume continued from step 2 rather than restarting from 0.
+    assert {2, 4} <= set(steps)
+
+
 def test_trained_decoder_loads_into_stylize(tmp_path, rng):
     """Train a decoder, bundle it with the encoder, stylize with it."""
     import jax

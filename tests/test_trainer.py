@@ -74,6 +74,47 @@ def test_checkpoint_roundtrip(tmp_path, enc_params):
     )
 
 
+@pytest.mark.parametrize("fmt", ["npz", "orbax"])
+def test_train_checkpointer_backends_roundtrip(tmp_path, enc_params, fmt):
+    # Both backends must restore the SAME canonical tree (the resume
+    # path rebuilds the optax structure from its leaves).
+    from wct_tpu.train import checkpoint as ckpt_lib
+
+    state = init_train_state(jax.random.PRNGKey(4), CFG)
+    batch = jnp.asarray(next(synthetic_batches(CFG.batch_size, CFG.crop_size)))
+    state, _ = train_step(state, enc_params, batch, CFG)
+    tree = {"params": state.params, "opt_state": state.opt_state,
+            "step": state.step}
+
+    ckptr = ckpt_lib.TrainCheckpointer(tmp_path / fmt, fmt=fmt, keep=2)
+    assert ckptr.restore_latest() is None
+    ckptr.save(1, tree)
+    ckptr.save(1, tree)  # same-step double save (save-on-signal) is a no-op
+    loaded = ckptr.restore_latest()
+    ckptr.close()
+
+    canonical = ckpt_lib.canonicalize(tree)
+    assert jax.tree.structure(loaded) == jax.tree.structure(canonical)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        loaded, canonical,
+    )
+    assert int(loaded["step"]) == 1
+
+
+def test_train_checkpointer_orbax_retention(tmp_path, enc_params):
+    from wct_tpu.train import checkpoint as ckpt_lib
+
+    state = init_train_state(jax.random.PRNGKey(5), CFG)
+    ckptr = ckpt_lib.TrainCheckpointer(tmp_path, fmt="orbax", keep=2)
+    for step in (1, 2, 3):
+        ckptr.save(step, {"params": state.params, "step": step})
+    loaded = ckptr.restore_latest()
+    assert int(loaded["step"]) == 3
+    assert ckptr._mngr.all_steps() == [2, 3]  # keep=2 dropped step 1
+    ckptr.close()
+
+
 def test_sharded_step_matches_single(enc_params):
     mesh = mesh_lib.create_mesh()
     cfg = TrainConfig(relu_target="relu1_1", batch_size=8, crop_size=32)

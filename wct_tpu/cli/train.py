@@ -53,6 +53,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "omit for random encoder (smoke test)")
     p.add_argument("--checkpoint-dir", required=True)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--ckpt-format", choices=["npz", "orbax"], default="npz",
+                   help="training-state backend: npz = single "
+                        "state_latest.npz; orbax = step-indexed dirs "
+                        "with retention (roll back a bad step)")
+    p.add_argument("--ckpt-keep", type=int, default=3,
+                   help="orbax: number of recent step checkpoints kept")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--crop-size", type=int, default=256)
     p.add_argument("--learning-rate", type=float, default=1e-4)
@@ -110,24 +116,27 @@ def main(argv=None) -> None:
 
     state = init_train_state(jax.random.PRNGKey(args.seed + 1), cfg)
     start_step = 0
-    latest = ckpt_dir / "state_latest.npz"
-    if args.resume and latest.exists():
-        tree = checkpoint.load_pytree(latest)
-        state = TrainState(
-            params=tree["params"], opt_state=state.opt_state, step=tree["step"]
-        )
-        # Rebuild opt state from saved moments when present.
-        if "opt_state" in tree:
+    ckptr = checkpoint.TrainCheckpointer(
+        ckpt_dir, fmt=args.ckpt_format, keep=args.ckpt_keep
+    )
+    if args.resume:
+        tree = ckptr.restore_latest()
+        if tree is not None:
             state = TrainState(
-                params=tree["params"],
-                opt_state=jax.tree.unflatten(
-                    jax.tree.structure(make_optimizer(cfg).init(tree["params"])),
-                    jax.tree.leaves(tree["opt_state"]),
-                ),
-                step=tree["step"],
+                params=tree["params"], opt_state=state.opt_state, step=tree["step"]
             )
-        start_step = int(state.step)
-        print(f"[train] resumed from {latest} at step {start_step}")
+            # Rebuild opt state from saved moments when present.
+            if "opt_state" in tree:
+                state = TrainState(
+                    params=tree["params"],
+                    opt_state=jax.tree.unflatten(
+                        jax.tree.structure(make_optimizer(cfg).init(tree["params"])),
+                        jax.tree.leaves(tree["opt_state"]),
+                    ),
+                    step=tree["step"],
+                )
+            start_step = int(state.step)
+            print(f"[train] resumed ({args.ckpt_format}) at step {start_step}")
 
     if args.synthetic or not args.content_path:
         if not args.synthetic:
@@ -236,8 +245,8 @@ def main(argv=None) -> None:
                         images.save_img(
                             ckpt_dir / f"val_recon_{i}_step{step}.png", img
                         )
-                checkpoint.save_pytree(
-                    latest,
+                ckptr.save(
+                    step,
                     {
                         "params": state.params,
                         "opt_state": state.opt_state,
@@ -250,6 +259,7 @@ def main(argv=None) -> None:
             if step >= cfg.max_iter or stop_requested:
                 break
     finally:
+        ckptr.close()
         # Restore prior handlers so in-process callers (tests,
         # notebooks) keep a working Ctrl+C after main() returns.
         for sig, handler in prev_handlers.items():

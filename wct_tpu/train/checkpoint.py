@@ -1,4 +1,4 @@
-"""Checkpointing: flat-npz pytrees (+ optional orbax for training state).
+"""Checkpointing: flat-npz pytrees + an orbax training-state backend.
 
 Replaces the reference's per-variable-scope ``tf.train.Saver``
 checkpoints (SURVEY.md §5 checkpoint/resume row) with a portable
@@ -6,6 +6,14 @@ format: a pytree of arrays flattened to ``path/to/leaf`` keys in one
 ``.npz`` file. Used for the encoder bundle, each decoder, and full
 training states (params + Adam moments + step), so a crashed run
 resumes exactly.
+
+``TrainCheckpointer`` wraps the periodic training-state save/restore
+behind one interface with two backends: ``npz`` (single
+``state_latest.npz``, atomic rename) and ``orbax``
+(``orbax.checkpoint.CheckpointManager``: step-indexed directories with
+retention — the SURVEY.md §5 "periodic orbax checkpointing" row).
+Both backends round-trip the same canonical nested-dict/list tree, so
+the resume path is backend-agnostic.
 """
 
 from __future__ import annotations
@@ -69,3 +77,70 @@ def load_pytree(path: str | os.PathLike) -> Any:
     """Load an ``.npz`` checkpoint back into a (nested-dict/list) pytree."""
     with np.load(str(path)) as data:
         return _unflatten({k: data[k] for k in data.files})
+
+
+def canonicalize(tree: Any) -> Any:
+    """Reduce a pytree (incl. namedtuples) to nested dicts/lists of arrays.
+
+    Exactly the structure ``load_pytree`` produces for the same tree,
+    so orbax- and npz-saved training states restore identically and the
+    opt-state rebuild (leaves → optimizer structure) works for both.
+    """
+    return _unflatten(_flatten(jax.device_get(tree)))
+
+
+class TrainCheckpointer:
+    """Periodic training-state checkpoints with ``npz``/``orbax`` backends.
+
+    npz: one ``<dir>/state_latest.npz`` overwritten atomically — the
+    minimal-footprint default. orbax: ``<dir>/orbax/<step>/`` managed
+    by ``CheckpointManager`` with ``keep`` most-recent retained, so a
+    bad step can be rolled back. ``save`` is synchronous in both
+    (save-on-signal must be durable before the process exits).
+    """
+
+    def __init__(self, ckpt_dir: str | os.PathLike, fmt: str = "npz",
+                 keep: int = 3):
+        if fmt not in ("npz", "orbax"):
+            raise ValueError(f"unknown checkpoint format: {fmt!r}")
+        self.fmt = fmt
+        self.dir = os.path.abspath(str(ckpt_dir))
+        os.makedirs(self.dir, exist_ok=True)
+        self._mngr = None
+        if fmt == "orbax":
+            import orbax.checkpoint as ocp
+
+            self._ocp = ocp
+            self._mngr = ocp.CheckpointManager(
+                os.path.join(self.dir, "orbax"),
+                options=ocp.CheckpointManagerOptions(max_to_keep=keep),
+            )
+
+    @property
+    def _npz_path(self) -> str:
+        return os.path.join(self.dir, "state_latest.npz")
+
+    def save(self, step: int, tree: Any) -> None:
+        tree = canonicalize(tree)
+        if self._mngr is None:
+            save_pytree(self._npz_path, tree)
+            return
+        if self._mngr.latest_step() == step:
+            return  # e.g. save-iter boundary + save-on-signal same step
+        self._mngr.save(step, args=self._ocp.args.StandardSave(tree))
+        self._mngr.wait_until_finished()
+
+    def restore_latest(self) -> Any | None:
+        """Latest saved training state (canonical tree) or None."""
+        if self._mngr is None:
+            if not os.path.exists(self._npz_path):
+                return None
+            return load_pytree(self._npz_path)
+        step = self._mngr.latest_step()
+        if step is None:
+            return None
+        return canonicalize(self._mngr.restore(step))
+
+    def close(self) -> None:
+        if self._mngr is not None:
+            self._mngr.close()
