@@ -65,3 +65,37 @@ class TestReductions:
             float(reductions.inf_norm(jnp.asarray(a))),
             np.abs(a).sum(1).max(), rtol=1e-6,
         )
+
+
+class TestGramPallas:
+    """Interpret-mode logic tests of the Pallas centered-Gram kernel
+    (the on-TPU determinism + perf measurements live in its docstring
+    and bench/tpu_sanity.py)."""
+
+    @pytest.mark.parametrize(
+        "n,c", [(132, 512), (1000, 64), (4096, 128), (7, 256)]
+    )
+    def test_matches_numpy(self, rng, n, c):
+        from wct_tpu.ops import gram_pallas
+
+        x = (rng.standard_normal((n, c)) * 2 + 0.5).astype(np.float32)
+        cov, mean = gram_pallas.centered_gram(jnp.asarray(x), interpret=True)
+        mu = x.mean(0)
+        want = (x - mu).T @ (x - mu)
+        np.testing.assert_allclose(np.asarray(mean), mu, rtol=2e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cov), want, rtol=2e-4, atol=2e-3)
+
+    def test_matches_wct_gram_semantics(self, rng):
+        # cov/(n−1) must equal ops.wct._gram's covariance.
+        from wct_tpu.ops import gram_pallas
+        from wct_tpu.ops import wct as wct_ops
+
+        x = rng.standard_normal((90, 32)).astype(np.float32)
+        cov_p, mean_p = gram_pallas.centered_gram(jnp.asarray(x), interpret=True)
+        cov_x, mean_x = wct_ops._gram(jnp.asarray(x))
+        np.testing.assert_allclose(
+            np.asarray(cov_p) / (90 - 1), np.asarray(cov_x), rtol=2e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(mean_p), np.asarray(mean_x), rtol=1e-5, atol=1e-6
+        )

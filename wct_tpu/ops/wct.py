@@ -270,20 +270,21 @@ def _grouped_gram(f_flat: jax.Array, groups: int) -> tuple[jax.Array, jax.Array]
 def _apply_kernel(x: jax.Array, kernel: jax.Array) -> jax.Array:
     """x [N, C] @ kernel, where kernel is [C, C] or block-diag [G, Cg, Cg].
 
-    Runs at HIGHEST precision: with the α-blend folded into the kernel
-    (see ``wct_from_stats``) the content features themselves pass
-    through this matmul, and TPU-default single-pass bf16 multiplies
-    would put a ~4e-3 relative floor under the fidelity (f32+eigh)
-    path. The extra passes are negligible next to the cascade's convs
-    (≤4 % of frame FLOPs, and these small-C matmuls are bandwidth-bound
-    anyway).
+    Runs at HIGH precision (3-pass bf16): with the α-blend folded into
+    the kernel (see ``wct_from_stats``) the content features
+    themselves pass through this matmul, and TPU-default single-pass
+    bf16 multiplies would put a ~4e-3 relative floor under the
+    fidelity (f32+eigh) path. HIGH keeps ~2e-5 of the 6-pass HIGHEST
+    result (measured, relu5_1 features) at half its pass count — these
+    are the largest matmuls in the WCT stage ([N, C] with N = H·W) —
+    and is bitwise batch-shape-stable like HIGHEST (measured).
     """
     if kernel.ndim == 2:
         return jax.lax.dot_general(
             x, kernel,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
         )
     n, c = x.shape
     g, cg, _ = kernel.shape
@@ -296,7 +297,7 @@ def _apply_kernel(x: jax.Array, kernel: jax.Array) -> jax.Array:
         xg, kernel,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGH,
     )
     return jnp.transpose(out, (1, 0, 2)).reshape(n, c)
 
