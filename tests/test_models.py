@@ -170,6 +170,15 @@ class TestCascade:
             )
             np.testing.assert_array_equal(np.asarray(out[i]), np.asarray(solo[0]))
 
+    def test_microbatched_empty_batch(self, params, imgs):
+        content, style = imgs
+        cfg = cascade.CascadeConfig(relu_targets=("relu1_1",))
+        cache = cascade.precompute_style(params["encoder"], jnp.asarray(style), cfg)
+        out = cascade.stylize_microbatched(
+            params, jnp.asarray(content[:0]), cache, 1.0, cfg, microbatch=2
+        )
+        assert out.shape[0] == 0
+
     def test_microbatched_rejects_bad_size(self, params, imgs):
         content, style = imgs
         cfg = cascade.CascadeConfig(relu_targets=("relu1_1",))

@@ -165,6 +165,40 @@ class TestSoftTruncation:
         k, mu = wct_ops.whitening_kernel(jnp.asarray(f), soft_trunc=True)
         assert np.all(np.isfinite(np.asarray(k)))
 
+    def test_negative_noise_eigenvalues_bounded(self, rng):
+        # fp32 eigh on rank-deficient Grams returns small NEGATIVE
+        # noise eigenvalues; the soft filter must send them to ~0, not
+        # through the -1/2 power with an O(1) weight (regression:
+        # |kernel| blew up to ~4400 vs the hard mask's ~90).
+        q, _ = np.linalg.qr(rng.standard_normal((16, 16)))
+        s = np.ones(16)
+        s[:4] = [-1e-5, -1e-6, 5e-6, 2e-5]
+        cov = ((q * s) @ q.T).astype(np.float32)
+        t = wct_ops.DEFAULT_TRUNC
+        soft = np.asarray(wct_ops._sym_pow(jnp.asarray(cov), -0.5, t, soft=True))
+        hard = np.asarray(wct_ops._sym_pow(jnp.asarray(cov), -0.5, t))
+        assert np.all(np.isfinite(soft))
+        # Bounded by the legitimate near-threshold modes (~t^-1/2), not
+        # the negative-noise blowup (~1e4).
+        assert np.abs(soft).max() < 500, f"max {np.abs(soft).max()}"
+        assert np.abs(hard).max() < 500
+
+    def test_whiten_color_kernels_soft_matches_parts(self, rng):
+        # swap5's fused decomposition must honor the same soft filter
+        # as the separate whitening/coloring paths (cascade plumbs
+        # cfg.soft_trunc into it — regression: it was ignored).
+        f = _feat(rng, h=5, w=5, c=32)
+        inv, sq, mu = wct_ops.whiten_color_kernels(
+            jnp.asarray(f), soft_trunc=True
+        )
+        w, mu_w = wct_ops.whitening_kernel(jnp.asarray(f), soft_trunc=True)
+        st = wct_ops.style_stats(jnp.asarray(f), soft_trunc=True)
+        np.testing.assert_allclose(np.asarray(inv), np.asarray(w), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(sq), np.asarray(st.kernel), atol=1e-5
+        )
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_w), atol=1e-6)
+
 
 class TestGroupedWCT:
     def test_groups_one_matches_plain(self, rng):

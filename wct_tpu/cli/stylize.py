@@ -198,12 +198,13 @@ def main(argv=None) -> None:
 
         for s_path, cache in pairs:
             for group in groups.values():
-                # ONE fixed-batch program per shape group: partial
-                # chunks are padded inside stylize_microbatched, so
-                # every image of the group runs through the same
-                # compiled graph — no remainder recompile, and outputs
-                # are bitwise-independent of how files batched up.
-                micro = min(args.batch_size, len(group))
+                # ONE fixed-batch program per shape: partial chunks are
+                # padded inside stylize_microbatched, so every image
+                # runs through the same compiled graph — no remainder
+                # recompile, and outputs are bitwise-independent of how
+                # many same-shape files happened to be in the run
+                # (micro must NOT depend on len(group) for that).
+                micro = args.batch_size
                 for i in range(0, len(group), args.batch_size):
                     chunk = group[i : i + args.batch_size]
                     arrs = [_prep_content(p, args) for p in chunk]

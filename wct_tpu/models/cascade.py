@@ -17,7 +17,11 @@ TPU-first differences:
 - ``alpha``/interpolation weights are traced scalars — changing them
   never recompiles.
 - Batching: convs are natively batched; the per-image Gram/eigh work
-  is ``vmap``-ed, keeping outputs bitwise-identical across batch sizes.
+  is ``vmap``-ed and its sums run as canonical MXU contractions
+  (ops/reductions.py). For outputs bitwise-independent of the
+  SUBMITTED batch size, serve through ``stylize_microbatched`` — XLA
+  tiles convs/large contractions per compiled batch shape, so
+  different batch-shape programs can differ at the ULP level.
 """
 
 from __future__ import annotations
@@ -160,7 +164,9 @@ def precompute_style(
         stats = adain_st = fs_white = None
         if cfg.swap5 and level == "relu5_1":
             # One decomposition yields whitening + coloring kernels.
-            w_s, k_s, mu_s = wct_ops.whiten_color_kernels(fs, method=cfg.method)
+            w_s, k_s, mu_s = wct_ops.whiten_color_kernels(
+                fs, method=cfg.method, soft_trunc=cfg.soft_trunc
+            )
             stats = wct_ops.StyleStats(kernel=k_s, mean=mu_s)
             hs, ws, c = fs.shape
             flat = fs.reshape(hs * ws, c).astype(jnp.float32)
@@ -218,7 +224,9 @@ def _transform_level(
 ) -> jax.Array:
     """Apply the configured feature transform to ONE image's features."""
     if cfg.swap5 and level == "relu5_1":
-        w_c, mu_c = wct_ops.whitening_kernel(fc, method=cfg.method)
+        w_c, mu_c = wct_ops.whitening_kernel(
+            fc, method=cfg.method, soft_trunc=cfg.soft_trunc
+        )
         h, w, c = fc.shape
         flat = fc.reshape(h * w, c).astype(jnp.float32)
         fc_white = ((flat - mu_c[None, :]) @ w_c).reshape(h, w, c)
@@ -360,6 +368,8 @@ def stylize_microbatched(
     if microbatch < 1:
         raise ValueError(f"microbatch must be ≥ 1, got {microbatch}")
     b = content.shape[0]
+    if b == 0:
+        return content.astype(jnp.float32)
     outs = []
     for i in range(0, b, microbatch):
         chunk = content[i : i + microbatch]

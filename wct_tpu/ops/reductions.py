@@ -27,19 +27,30 @@ replicated matmul forms pick batch-dependent vectorization. So every
 helper dispatches on the backend at trace time; both paths compute the
 same quantities within fp rounding.
 
-Scope: these helpers make the WCT/AdaIN/swap TRANSFORM stage bitwise
-program-shape-independent (measured: whitening kernels, NS, and the
-full per-level transform at batch 1 vs 3 — zero bit diffs). They are
-necessary but not sufficient end to end: XLA also picks CONV tilings
-per batch shape (measured ULP drift in the decoder stack), which
-cannot be pinned op-by-op. The user-facing guarantee — an image's
-output is bitwise-independent of its submitted batch size — is
-therefore delivered at the serving layer by
-``cascade.stylize_microbatched`` (one fixed-shape program for every
-request); these helpers keep the truncation knife edge from amplifying
-residual conv ULPs into whole-mode flips in variable-batch use.
-``bench/tpu_sanity.py`` checks 6–7 gate the end-to-end property
-on-device (``tests/test_wct.py::TestBatching`` is the CPU gate).
+Scope — what these helpers DO and DON'T deliver (all measured,
+batch 1 vs 3 under vmap on v5e):
+
+- DO: the WCT/AdaIN/swap transform stage is bitwise
+  program-shape-independent at the DEEP-level shapes where the rank-
+  deficient (N ≤ C) Grams live and the 1e-5 truncation knife edge is
+  dangerous — zero bit diffs for whitening kernels, NS, grouped, and
+  adain at relu5_1-scale N (N=132…4096 means; N=132 Grams). Without
+  them the same comparisons drifted 22–65 k ULPs and the knife edge
+  blew that up into dev ~390 garbage whitening kernels.
+- DON'T: at large-N shallow-level shapes XLA splits the contraction
+  itself batch-dependently and no operand barrier pins it (measured:
+  mean0 drifts at N=65536/262144 even with the barrier; Gram at
+  N=4096, C=512). XLA also picks CONV tilings per batch shape
+  (decoder stack drift, measured). Neither can be pinned op-by-op.
+
+The user-facing guarantee — an image's output is bitwise-independent
+of its submitted batch size — is therefore delivered at the serving
+layer by ``cascade.stylize_microbatched`` (one fixed-shape program
+for every request). ``bench/tpu_sanity.py`` checks 6–7 gate that
+end-to-end property on-device (``tests/test_wct.py::TestBatching`` is
+the CPU gate); ``ops/gram_pallas.py`` is the deterministic-by-
+construction Gram alternative if stronger variable-batch behavior is
+ever needed.
 """
 
 from __future__ import annotations
@@ -71,11 +82,20 @@ def matmul(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def sum0(x: jax.Array) -> jax.Array:
-    """Sum over axis 0 of ``[N, C]`` (float32 accumulation)."""
+    """Sum over axis 0 of ``[N, C]`` (float32 accumulation).
+
+    The ``optimization_barrier`` on the ones operand is load-bearing:
+    without it XLA constant-folds/rewrites the contraction and the
+    result drifts between batch shapes at some N (measured: stable at
+    N=132, 365/512 ULP-different lanes at N=4096 without the barrier,
+    zero with it).
+    """
     x = x.astype(jnp.float32)
     if not _mxu():
         return jnp.sum(x, axis=0)
-    ones = jnp.ones((_SUBLANE, x.shape[0]), jnp.float32)
+    ones = jax.lax.optimization_barrier(
+        jnp.ones((_SUBLANE, x.shape[0]), jnp.float32)
+    )
     return matmul(ones, x)[0]
 
 
@@ -127,12 +147,17 @@ def gram0(x: jax.Array) -> jax.Array:
 
 def gram0_batched(xg: jax.Array) -> jax.Array:
     """Per-group ``xᵀ x``: ``[G, N, Cg] → [G, Cg, Cg]`` (canonical
-    batched matmul on TPU; see ``gram0``)."""
+    batched matmul on TPU, with the same ``optimization_barrier`` as
+    ``gram0`` — without it XLA folds the transpose back into the dot
+    and grouped covariances drift between batch shapes, measured)."""
     xg = xg.astype(jnp.float32)
-    lhs = jnp.transpose(xg, (0, 2, 1)) if _mxu() else xg
-    contract = ((2,), (1,)) if _mxu() else ((1,), (1,))
+    if not _mxu():
+        return jax.lax.dot_general(
+            xg, xg, dimension_numbers=(((1,), (1,)), ((0,), (0,))), **_HP
+        )
+    lhs = jax.lax.optimization_barrier(jnp.transpose(xg, (0, 2, 1)))
     return jax.lax.dot_general(
-        lhs, xg, dimension_numbers=(contract, ((0,), (0,))), **_HP
+        lhs, xg, dimension_numbers=(((2,), (1,)), ((0,), (0,))), **_HP
     )
 
 

@@ -105,8 +105,16 @@ def _sym_pow(
     """
     s, u = jnp.linalg.eigh(cov)  # ascending eigenvalues
     if soft:
-        filt = s * s / (s * s + trunc * trunc)
-        s_pow = filt * jnp.sign(s) * jnp.abs(jnp.maximum(s, trunc * 1e-3)) ** power
+        # Clamp to the PSD cone FIRST: fp32 eigh on rank-deficient
+        # Grams returns small NEGATIVE noise eigenvalues, and filtering
+        # the raw value would send them through the −1/2 power with an
+        # O(1) filter weight (measured: |kernel| 4360 vs 91 on an 8×64
+        # feature Gram). With s⁺ = max(s, 0) the filter is exactly 0
+        # for the whole non-positive noise cloud and Lipschitz through
+        # the threshold above it.
+        s_pos = jnp.maximum(s, 0.0)
+        filt = s_pos * s_pos / (s_pos * s_pos + trunc * trunc)
+        s_pow = filt * jnp.maximum(s_pos, trunc * 1e-3) ** power
     else:
         keep = s > trunc
         s_pow = jnp.where(keep, jnp.sign(s) * jnp.abs(s) ** power, 0.0)
@@ -189,6 +197,7 @@ def whiten_color_kernels(
     eps: float = DEFAULT_EPS,
     trunc: float = DEFAULT_TRUNC,
     method: Method = "eigh",
+    soft_trunc: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """(whitening kernel, coloring kernel, mean) from ONE decomposition.
 
@@ -197,7 +206,9 @@ def whiten_color_kernels(
     them via separate ``whitening_kernel`` + ``style_stats`` calls
     would run the Gram and the eigendecomposition twice. Here eigh is
     factored once (and Newton–Schulz already yields both powers in one
-    coupled iteration).
+    coupled iteration). ``soft_trunc`` selects the same continuous
+    eigenvalue filter as ``_sym_pow`` (cascade plumbs
+    ``cfg.soft_trunc`` here so ``--swap5 --soft-trunc`` compose).
     """
     f_flat = _flatten_hwc(f)
     cov, mean = _gram(f_flat)
@@ -206,9 +217,17 @@ def whiten_color_kernels(
         method = "eigh" if cov.shape[-1] <= _AUTO_EIGH_MAX_C else "newton_schulz"
     if method == "eigh":
         s, u = jnp.linalg.eigh(cov)
-        keep = s > trunc
-        inv = (u * jnp.where(keep, jnp.abs(s) ** -0.5, 0.0)[None, :]) @ u.T
-        sq = (u * jnp.where(keep, jnp.abs(s) ** 0.5, 0.0)[None, :]) @ u.T
+        if soft_trunc:
+            s_pos = jnp.maximum(s, 0.0)
+            filt = s_pos * s_pos / (s_pos * s_pos + trunc * trunc)
+            inv_d = filt * jnp.maximum(s_pos, trunc * 1e-3) ** -0.5
+            sq_d = filt * s_pos**0.5
+        else:
+            keep = s > trunc
+            inv_d = jnp.where(keep, jnp.abs(s) ** -0.5, 0.0)
+            sq_d = jnp.where(keep, jnp.abs(s) ** 0.5, 0.0)
+        inv = (u * inv_d[None, :]) @ u.T
+        sq = (u * sq_d[None, :]) @ u.T
         return inv, sq, mean
     from wct_tpu.ops import sqrtm
 

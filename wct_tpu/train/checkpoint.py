@@ -121,13 +121,16 @@ class TrainCheckpointer:
         return os.path.join(self.dir, "state_latest.npz")
 
     def save(self, step: int, tree: Any) -> None:
-        tree = canonicalize(tree)
         if self._mngr is None:
+            # save_pytree flattens/device_gets itself — canonicalizing
+            # here would walk + host-transfer the state twice.
             save_pytree(self._npz_path, tree)
             return
         if self._mngr.latest_step() == step:
             return  # e.g. save-iter boundary + save-on-signal same step
-        self._mngr.save(step, args=self._ocp.args.StandardSave(tree))
+        self._mngr.save(
+            step, args=self._ocp.args.StandardSave(canonicalize(tree))
+        )
         self._mngr.wait_until_finished()
 
     def restore_latest(self) -> Any | None:
