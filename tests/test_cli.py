@@ -39,6 +39,44 @@ def test_stylize_cli_end_to_end(tiny_imgs):
     assert img.shape[2] == 3 and np.isfinite(img).all()
 
 
+def test_stylize_cli_data_parallel(tiny_imgs):
+    # Shards each batch over the 8-virtual-device CPU mesh.
+    from wct_tpu.cli import stylize as cli
+
+    c_dir, s_dir, o_dir = tiny_imgs
+    cli.main(
+        [
+            "--content-path", str(c_dir),
+            "--style-path", str(s_dir),
+            "--out-path", str(o_dir),
+            "--relu-targets", "relu1_1",
+            "--content-size", "32",
+            "--batch-size", "8",
+            "--data-parallel",
+        ]
+    )
+    outs = images.get_files(o_dir)
+    assert len(outs) == 2
+    assert np.isfinite(images.get_img(outs[0])).all()
+
+
+def test_stylize_cli_data_parallel_bad_batch(tiny_imgs):
+    from wct_tpu.cli import stylize as cli
+
+    c_dir, s_dir, o_dir = tiny_imgs
+    with pytest.raises(SystemExit, match="multiple of the device count"):
+        cli.main(
+            [
+                "--content-path", str(c_dir),
+                "--style-path", str(s_dir),
+                "--out-path", str(o_dir),
+                "--relu-targets", "relu1_1",
+                "--batch-size", "3",
+                "--data-parallel",
+            ]
+        )
+
+
 def test_stylize_cli_interp_and_keep_colors(tiny_imgs):
     from wct_tpu.cli import stylize as cli
 

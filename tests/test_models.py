@@ -111,12 +111,17 @@ class TestCascade:
         )
         assert out.shape == (SIZE, SIZE, 3)
 
-    def test_swap5_mode(self, params):
+    @pytest.mark.parametrize("soft", [False, True])
+    def test_swap5_mode(self, params, soft):
         # relu5_1 features are H/16 — need ≥48px for 3×3 patches.
+        # soft=True also exercises the cfg.soft_trunc plumbing into the
+        # swap level's fused whiten+color decomposition.
         rng = np.random.default_rng(5)
         content = rng.random((64, 64, 3), np.float32)
         style = rng.random((64, 64, 3), np.float32)
-        cfg = cascade.CascadeConfig(relu_targets=("relu5_1",), swap5=True)
+        cfg = cascade.CascadeConfig(
+            relu_targets=("relu5_1",), swap5=True, soft_trunc=soft
+        )
         out = cascade.stylize_pair(
             params, jnp.asarray(content), jnp.asarray(style), 1.0, cfg
         )

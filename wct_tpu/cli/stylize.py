@@ -51,6 +51,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--interp-weights", type=float, nargs="+", default=None,
                    help="blend ALL styles in --style-path with these weights "
                         "instead of iterating them")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard each batch over all local devices "
+                        "(--batch-size must be a multiple of the device "
+                        "count; new vs reference — it is single-device)")
     return p.parse_args(argv)
 
 
@@ -147,6 +151,29 @@ def main(argv=None) -> None:
                 "blends one shared style-stat cache"
             )
 
+    stylize_fn = None  # default: single-device cascade.stylize
+    if args.data_parallel:
+        import functools
+
+        import jax
+
+        from wct_tpu.parallel import mesh as mesh_lib
+
+        n_dev = len(jax.devices())
+        if args.batch_size % max(n_dev, 1):
+            raise SystemExit(
+                f"--data-parallel: --batch-size {args.batch_size} must be "
+                f"a multiple of the device count ({n_dev})"
+            )
+        if args.coral:
+            raise SystemExit(
+                "--coral processes one pair at a time and cannot shard; "
+                "drop --data-parallel or --coral"
+            )
+        mesh = mesh_lib.create_mesh()
+        stylize_fn = functools.partial(mesh_lib.stylize_sharded, mesh=mesh)
+        print(f"[stylize] data-parallel over {n_dev} devices")
+
     t_start = time.perf_counter()
     n_out = 0
 
@@ -215,6 +242,7 @@ def main(argv=None) -> None:
                         args.alpha,
                         cfg,
                         microbatch=micro,
+                        stylize_fn=stylize_fn,
                     )
                     _save_outputs(
                         out,

@@ -342,6 +342,7 @@ def stylize_microbatched(
     alpha: jax.Array | float,
     cfg: CascadeConfig,
     microbatch: int = 8,
+    stylize_fn=None,
 ) -> jax.Array:
     """Bitwise batch-size-stable serving: pad + chunk to a FIXED batch.
 
@@ -364,9 +365,16 @@ def stylize_microbatched(
     calling ``stylize`` with batch 1 (one fixed program → stable too,
     but its bits differ from a ``microbatch=N`` program's — like any
     config change). Also bounds compile count to ONE batch shape.
+
+    ``stylize_fn`` swaps the per-chunk executor while keeping the
+    pad/chunk discipline — e.g. ``parallel.mesh.stylize_sharded`` (with
+    mesh bound via functools.partial) for data-parallel serving, where
+    ``microbatch`` should be a multiple of the mesh's data-axis size.
     """
     if microbatch < 1:
         raise ValueError(f"microbatch must be ≥ 1, got {microbatch}")
+    if stylize_fn is None:
+        stylize_fn = stylize
     b = content.shape[0]
     if b == 0:
         return content.astype(jnp.float32)
@@ -378,6 +386,6 @@ def stylize_microbatched(
             chunk = jnp.concatenate(
                 [chunk, jnp.repeat(chunk[-1:], pad, axis=0)]
             )
-        out = stylize(params, chunk, style_cache, alpha, cfg)
+        out = stylize_fn(params, chunk, style_cache, alpha, cfg)
         outs.append(out[: microbatch - pad])
     return jnp.concatenate(outs)
