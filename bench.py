@@ -62,7 +62,7 @@ def main() -> None:
         for _ in range(args.n_batches)
     ]
 
-    modes = [("bfloat16", "newton_schulz")]
+    modes = [("bfloat16", "newton_schulz_fast")]
     if args.fidelity_too:
         modes.append(("float32", "eigh"))
 

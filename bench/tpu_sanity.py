@@ -101,8 +101,8 @@ def main() -> int:
     batch3 = np.concatenate([content, others])
     for name, cfg_b in (
         ("f32/eigh", cfg),
-        ("bf16/NS", cascade.CascadeConfig(
-            compute_dtype="bfloat16", method="newton_schulz")),
+        ("bf16/NS-fast", cascade.CascadeConfig(
+            compute_dtype="bfloat16", method="newton_schulz_fast")),
     ):
         cache_b = cascade.precompute_style(
             params["encoder"], jnp.asarray(style), cfg_b

@@ -122,7 +122,7 @@ def test_preset_overrides_dtype_and_method(tiny_imgs):
     common.add_model_flags(p)
     args = p.parse_args(["--preset", "throughput"])
     cfg = common.config_from_args(args)
-    assert cfg.compute_dtype == "bfloat16" and cfg.method == "newton_schulz"
+    assert cfg.compute_dtype == "bfloat16" and cfg.method == "newton_schulz_fast"
     args = p.parse_args(["--preset", "balanced"])
     cfg = common.config_from_args(args)
     assert cfg.compute_dtype == "float32" and cfg.method == "auto"

@@ -278,6 +278,78 @@ class TestAutoMethod:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestBf16Path:
+    """The bf16 throughput route: uncentered exact-product Gram + bf16
+    apply matmul (ops/wct.py `_gram`/`_apply_kernel`)."""
+
+    def test_bf16_tracks_float32(self, rng):
+        fc = np.maximum(_feat(rng, h=16, w=16, c=24, shift=0.5), 0)
+        fs = np.maximum(_feat(rng, h=12, w=12, c=24, scale=2.0, shift=0.5), 0)
+        out32 = np.asarray(
+            wct_ops.wct(jnp.asarray(fc), jnp.asarray(fs), 0.8), np.float32
+        )
+        out16 = np.asarray(
+            wct_ops.wct(
+                jnp.asarray(fc, jnp.bfloat16), jnp.asarray(fs, jnp.bfloat16), 0.8
+            ).astype(jnp.float32)
+        )
+        # bf16 inputs carry ~4e-3 relative rounding; the transform must
+        # not amplify it beyond a small factor on the body.
+        scale = np.abs(out32).mean()
+        assert np.median(np.abs(out16 - out32)) < 3e-2 * scale
+
+    def test_bf16_alpha_zero_exact_identity(self, rng):
+        fc = jnp.asarray(_feat(rng, c=16, shift=1.0), jnp.bfloat16)
+        fs = jnp.asarray(_feat(rng, h=9, w=7, c=16, scale=2.0), jnp.bfloat16)
+        out = wct_ops.wct(fc, fs, 0.0)
+        # α=0 folds to transform=I, bias=0; I is bf16-exact and x·I
+        # accumulates single exact products → bitwise identity.
+        np.testing.assert_array_equal(
+            np.asarray(out.astype(jnp.float32)),
+            np.asarray(fc.astype(jnp.float32)),
+        )
+
+    def test_uncentered_gram_matches_centered(self, rng):
+        # The uncentered-route algebra (XᵀX − n·μμᵀ)/(n−1), exercised
+        # via bf16 inputs, must agree with the centered f32 Gram on the
+        # SAME (bf16-representable) values.
+        f = jnp.asarray(
+            np.maximum(_feat(rng, h=20, w=20, c=12, shift=1.0), 0), jnp.bfloat16
+        )
+        cov16, mu16 = wct_ops._gram(f.reshape(-1, 12))
+        cov32, mu32 = wct_ops._gram(f.astype(jnp.float32).reshape(-1, 12))
+        np.testing.assert_allclose(np.asarray(mu16), np.asarray(mu32), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(cov16), np.asarray(cov32),
+            atol=1e-4 * float(jnp.abs(cov32).max()),
+        )
+
+
+class TestFastNewtonSchulz:
+    def test_fast_close_to_highest(self, rng):
+        fc = _feat(rng, h=16, w=16, c=32, shift=0.3)
+        fs = _feat(rng, h=16, w=16, c=32, scale=2.0, shift=0.3)
+        a = np.asarray(
+            wct_ops.wct(jnp.asarray(fc), jnp.asarray(fs), 1.0, method="newton_schulz")
+        )
+        b = np.asarray(
+            wct_ops.wct(
+                jnp.asarray(fc), jnp.asarray(fs), 1.0, method="newton_schulz_fast"
+            )
+        )
+        # CPU treats HIGH==HIGHEST (f32 either way); on TPU the fast
+        # path was measured at 5e-5 rel err. Loose tolerance covers both.
+        np.testing.assert_allclose(a, b, atol=5e-3 * np.abs(a).max())
+
+    def test_fast_accepted_by_cascade_config(self):
+        from wct_tpu.models import cascade
+
+        cfg = cascade.CascadeConfig(
+            relu_targets=("relu1_1",), method="newton_schulz_fast"
+        )
+        assert cfg.method == "newton_schulz_fast"
+
+
 class TestBatching:
     def test_bitwise_stable_across_batch_sizes(self, rng):
         fc = np.stack([_feat(rng) for _ in range(4)])

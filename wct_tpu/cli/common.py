@@ -54,10 +54,15 @@ def add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--ss-stride", type=int, default=1)
     p.add_argument(
         "--method",
-        choices=["eigh", "newton_schulz", "newton_schulz_pallas", "auto"],
+        choices=[
+            "eigh", "newton_schulz", "newton_schulz_fast",
+            "newton_schulz_pallas", "auto",
+        ],
         default="eigh",
         help="matrix-sqrt path for WCT ('auto' = eigh for small Grams, "
-        "Newton-Schulz for 256+ channels)",
+        "Newton-Schulz for 128+ channels; newton_schulz_fast = "
+        "3-pass-bf16 iteration matmuls, rel err 5e-5 — the throughput "
+        "choice)",
     )
     p.add_argument(
         "--dtype",
@@ -86,14 +91,14 @@ def add_model_flags(p: argparse.ArgumentParser) -> None:
         help="quality/speed preset overriding --dtype/--method: "
         "fidelity = f32 + eigh (reference-exact truncation), "
         "balanced = f32 convs + auto solver (16 fps/chip at 512px), "
-        "throughput = bf16 + Newton-Schulz (~65 fps/chip at 512px)",
+        "throughput = bf16 + fast Newton-Schulz (70+ fps/chip at 512px)",
     )
 
 
 _PRESETS = {
     "fidelity": ("float32", "eigh"),
     "balanced": ("float32", "auto"),
-    "throughput": ("bfloat16", "newton_schulz"),
+    "throughput": ("bfloat16", "newton_schulz_fast"),
 }
 
 

@@ -100,7 +100,10 @@ class CascadeConfig:
             raise ValueError(f"passes must be >= 1, got {self.passes}")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"compute_dtype {self.compute_dtype!r}")
-        if self.method not in ("eigh", "newton_schulz", "newton_schulz_pallas", "auto"):
+        if self.method not in (
+            "eigh", "newton_schulz", "newton_schulz_fast",
+            "newton_schulz_pallas", "auto",
+        ):
             raise ValueError(f"unknown method {self.method!r}")
         if self.wct_groups < 1 or any(
             vgg.TARGET_CHANNELS[t] % self.wct_groups for t in self.relu_targets

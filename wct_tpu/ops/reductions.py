@@ -145,6 +145,30 @@ def gram0(x: jax.Array) -> jax.Array:
     return matmul(jax.lax.optimization_barrier(x.T), x)
 
 
+def gram0_lowp(x: jax.Array) -> jax.Array:
+    """``xᵀ x`` for ``[N, C]`` keeping the OPERAND dtype (f32 accumulate).
+
+    For bf16 inputs every MXU product is EXACT (8-bit × 8-bit mantissas
+    fit f32's 24) and the accumulator is f32, so the only difference
+    from ``gram0`` on bf16 data is summation-order rounding — while the
+    operand reads (and the barrier-materialized transpose) move HALF
+    the HBM bytes. Used by the bf16 WCT path (ops/wct.py ``_gram``);
+    same canonical-matmul/barrier structure as ``gram0`` for batch
+    stability.
+    """
+    if not _mxu():
+        return jax.lax.dot_general(
+            x, x, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return jax.lax.dot_general(
+        jax.lax.optimization_barrier(x.T), x,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def gram0_batched(xg: jax.Array) -> jax.Array:
     """Per-group ``xᵀ x``: ``[G, N, Cg] → [G, Cg, Cg]`` (canonical
     batched matmul on TPU, with the same ``optimization_barrier`` as

@@ -50,20 +50,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 from wct_tpu.ops import reductions
 
-DEFAULT_ITERS = 20
+# Measured convergence on v5e (C=512 Grams of correlated relu features,
+# full- and half-rank, reg=1e-5 floor): the coupled iteration is fully
+# converged at 12 iterations (rel err 7e-6 HIGHEST / 5e-5 HIGH) and NOT
+# at 10 (1.6e-3) — the growth phase for floor-level eigenvalues
+# (~1e-5/C normalized) needs ~11 steps. 14 = converged + 2 margin; the
+# old 20 was 40% wasted MXU time (scripts/exp_wct_fast.py).
+DEFAULT_ITERS = 14
 DEFAULT_REG = 1e-5
 # f32 min tile is (8, 128); keep the lane dim a multiple of 128 so the
 # Pallas kernel maps cleanly onto MXU tiles.
 _LANE = 128
 
 
-def _ns_iterations(a_norm: jax.Array, num_iters: int) -> tuple[jax.Array, jax.Array]:
+def _ns_iterations(
+    a_norm: jax.Array,
+    num_iters: int,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> tuple[jax.Array, jax.Array]:
     """Run the coupled iteration on a pre-normalized matrix.
 
-    The C×C matmuls MUST run at true f32 (Precision.HIGHEST): at TPU
-    default precision the bf16 multiply passes plateau the iteration at
-    ~2% error (measured), while HIGHEST converges to ~1e-5. The cost is
-    negligible — these are C×C ops next to the cascade's convs.
+    The C×C matmuls must NOT run at TPU default precision: single-pass
+    bf16 multiplies plateau the iteration at ~2% error (measured).
+    Measured convergence at C=512 (scripts/exp_wct_fast.py):
+    HIGHEST (6-pass) reaches 7e-6, HIGH (3-pass bf16) reaches 5e-5 at
+    half the MXU passes — HIGH is the throughput choice
+    (method='newton_schulz_fast'), HIGHEST the default.
     """
     c = a_norm.shape[-1]
     eye = jnp.eye(c, dtype=a_norm.dtype)
@@ -71,7 +83,7 @@ def _ns_iterations(a_norm: jax.Array, num_iters: int) -> tuple[jax.Array, jax.Ar
         jax.lax.dot_general,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
 
     def body(_, yz):
@@ -87,12 +99,15 @@ def newton_schulz_sqrtm(
     num_iters: int = DEFAULT_ITERS,
     reg: float = DEFAULT_REG,
     use_pallas: bool = False,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
 ) -> tuple[jax.Array, jax.Array]:
     """(cov^{1/2}, cov^{−1/2}) for a symmetric PSD ``cov: [C, C]``.
 
     ``reg`` adds ``reg · mean(diag)`` to the diagonal before iterating —
     the spectrum floor that substitutes for the reference's 1e-5
-    eigenvalue truncation. Batched use: ``jax.vmap`` (the Pallas
+    eigenvalue truncation. ``precision`` sets the iteration matmul
+    passes (see ``_ns_iterations``; ignored by the Pallas variant,
+    which is always HIGHEST). Batched use: ``jax.vmap`` (the Pallas
     variant lifts vmap onto its grid).
     """
     if use_pallas:
@@ -105,7 +120,7 @@ def newton_schulz_sqrtm(
     # (ops/reductions.py).
     a = a + (reg * reductions.trace(a) / c) * jnp.eye(c, dtype=a.dtype)
     norm = reductions.inf_norm(a)  # ‖A‖_∞ ≥ λ_max
-    y, z = _ns_iterations(a / norm, num_iters)
+    y, z = _ns_iterations(a / norm, num_iters, precision)
     sqrt_norm = jnp.sqrt(norm)
     return y * sqrt_norm, z / sqrt_norm
 

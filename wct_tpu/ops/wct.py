@@ -52,12 +52,27 @@ from wct_tpu.ops import reductions
 DEFAULT_EPS = 1e-8
 DEFAULT_TRUNC = 1e-5
 
-Method = Literal["eigh", "newton_schulz", "newton_schulz_pallas", "auto"]
+Method = Literal[
+    "eigh", "newton_schulz", "newton_schulz_fast", "newton_schulz_pallas", "auto"
+]
 
 # 'auto' picks the solver per Gram size (SURVEY.md §7.8): eigh is exact
-# and cheap for small channel counts; Newton–Schulz (pure batched MXU
-# matmuls) is ~20× faster than batched eigh at C=512 on v5e.
-_AUTO_EIGH_MAX_C = 128
+# truncation and competitive only for small channel counts; Newton–
+# Schulz (pure batched MXU matmuls) is ~20× faster than batched eigh at
+# C=512 on v5e. Threshold measured at 512px/batch-16 level shapes
+# (scripts/exp_wct_fast.py): eigh loses 2× at C=128 (15.8 vs 8.0 ms)
+# and is roughly at parity at C=64 (17.9 vs 15.8) — keep eigh only ≤64,
+# where its exact 1e-5 truncation comes at no meaningful cost.
+_AUTO_EIGH_MAX_C = 64
+
+# 'newton_schulz_fast' runs the NS iteration matmuls at Precision.HIGH
+# (3-pass bf16) instead of HIGHEST (6-pass): measured rel err 5e-5 vs
+# 7e-6 at C=512 — far below the bf16 pipeline's own ~4e-3 resolution —
+# at half the solver's MXU time. The throughput-preset choice.
+_NS_PRECISION = {
+    "newton_schulz": jax.lax.Precision.HIGHEST,
+    "newton_schulz_fast": jax.lax.Precision.HIGH,
+}
 
 
 @jax.tree_util.register_dataclass
@@ -125,12 +140,29 @@ def _gram(f_flat: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Mean-center and form the channel Gram of ``f_flat: [N, C]``.
 
     Returns ``(cov [C, C], mean [C])`` with ``cov = fᵀf/(N−1)``
-    (reference ops.py:~80). Accumulates in float32 regardless of input
-    dtype so bf16 feature maps still get accurate covariances. The
-    mean is an MXU contraction (ops/reductions.py) so the result is
-    bitwise-identical at any batch size.
+    (reference ops.py:~80). Always accumulates in float32; the mean is
+    an MXU contraction (ops/reductions.py) so the result is bitwise-
+    identical at any batch size.
+
+    float32 inputs: two-pass centered Gram (reference form; immune to
+    mean/std cancellation).
+
+    bfloat16 inputs take the uncentered route
+    ``cov = (XᵀX − n·μμᵀ)/(n−1)``: every bf16×bf16 MXU product is
+    EXACT in the f32 accumulator, and no centered copy is ever
+    materialized — the alternative (center in f32, round back to bf16)
+    would put ~4e-3 elementwise rounding INTO the operands, i.e. ~1e-3
+    into cov, while the cancellation error of the uncentered form is
+    only ~eps·(μ²+σ²)/σ² ≈ 1e-6 for relu-scale feature statistics.
+    Better numerics AND half the Gram-stage HBM traffic (measured
+    faster at every level shape — scripts/exp_wct_fast.py).
     """
     n = f_flat.shape[0]
+    if f_flat.dtype == jnp.bfloat16:
+        mean = reductions.mean0(f_flat)  # f32 accumulate
+        raw = reductions.gram0_lowp(f_flat)
+        cov = (raw - n * jnp.outer(mean, mean)) / (n - 1)
+        return cov, mean
     f32 = f_flat.astype(jnp.float32)
     mean = reductions.mean0(f32)
     centered = f32 - mean[None, :]
@@ -152,12 +184,16 @@ def _sqrt_kernels(
         method = "eigh" if cov.shape[-1] <= _AUTO_EIGH_MAX_C else "newton_schulz"
     if method == "eigh":
         return _sym_pow(cov, power, trunc, soft=soft)
-    if method in ("newton_schulz", "newton_schulz_pallas"):
+    if method in ("newton_schulz", "newton_schulz_fast", "newton_schulz_pallas"):
         # Lazy import: keeps ops.wct importable without pallas deps.
         from wct_tpu.ops import sqrtm
 
         use_pallas = method == "newton_schulz_pallas"
-        sq, inv = sqrtm.newton_schulz_sqrtm(cov, use_pallas=use_pallas)
+        sq, inv = sqrtm.newton_schulz_sqrtm(
+            cov,
+            use_pallas=use_pallas,
+            precision=_NS_PRECISION.get(method, jax.lax.Precision.HIGHEST),
+        )
         return inv if power < 0 else sq
     raise ValueError(f"unknown WCT method: {method!r}")
 
@@ -232,7 +268,9 @@ def whiten_color_kernels(
     from wct_tpu.ops import sqrtm
 
     sq, inv = sqrtm.newton_schulz_sqrtm(
-        cov, use_pallas=(method == "newton_schulz_pallas")
+        cov,
+        use_pallas=(method == "newton_schulz_pallas"),
+        precision=_NS_PRECISION.get(method, jax.lax.Precision.HIGHEST),
     )
     return inv, sq, mean
 
@@ -289,21 +327,36 @@ def _grouped_gram(f_flat: jax.Array, groups: int) -> tuple[jax.Array, jax.Array]
 def _apply_kernel(x: jax.Array, kernel: jax.Array) -> jax.Array:
     """x [N, C] @ kernel, where kernel is [C, C] or block-diag [G, Cg, Cg].
 
-    Runs at HIGH precision (3-pass bf16): with the α-blend folded into
-    the kernel (see ``wct_from_stats``) the content features
-    themselves pass through this matmul, and TPU-default single-pass
-    bf16 multiplies would put a ~4e-3 relative floor under the
-    fidelity (f32+eigh) path. HIGH keeps ~2e-5 of the 6-pass HIGHEST
-    result (measured, relu5_1 features) at half its pass count — these
-    are the largest matmuls in the WCT stage ([N, C] with N = H·W) —
-    and is bitwise batch-shape-stable like HIGHEST (measured).
+    float32 x runs at HIGH precision (3-pass bf16): with the α-blend
+    folded into the kernel (see ``wct_from_stats``) the content
+    features themselves pass through this matmul, and TPU-default
+    single-pass bf16 multiplies would put a ~4e-3 relative floor under
+    the fidelity (f32+eigh) path. HIGH keeps ~2e-5 of the 6-pass
+    HIGHEST result (measured, relu5_1 features) at half its pass count
+    — these are the largest matmuls in the WCT stage ([N, C] with
+    N = H·W) — and is bitwise batch-shape-stable like HIGHEST
+    (measured).
+
+    bfloat16 x keeps both operands bf16 (kernel rounded once, per image
+    not per pixel) with an f32 accumulator: the products are exact for
+    the bf16 values, the kernel rounding (~4e-3) is at the bf16
+    pipeline's own resolution, and the operand reads move half the HBM
+    bytes — this matmul is HBM-bound at the shallow levels (N=262144,
+    C=64 at 512px). α=0 stays an exact identity: I rounds to bf16
+    exactly, and x·I accumulates single exact products.
+
+    Output is f32 either way (the caller adds the f32 bias and casts
+    back to the input dtype).
     """
+    lowp = x.dtype == jnp.bfloat16
+    kernel = kernel.astype(jnp.bfloat16) if lowp else kernel
+    prec = None if lowp else jax.lax.Precision.HIGH
     if kernel.ndim == 2:
         return jax.lax.dot_general(
             x, kernel,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH,
+            precision=prec,
         )
     n, c = x.shape
     g, cg, _ = kernel.shape
@@ -316,7 +369,7 @@ def _apply_kernel(x: jax.Array, kernel: jax.Array) -> jax.Array:
         xg, kernel,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH,
+        precision=prec,
     )
     return jnp.transpose(out, (1, 0, 2)).reshape(n, c)
 
@@ -370,7 +423,12 @@ def wct_from_stats(
     """
     h, w, c = fc.shape
     in_dtype = fc.dtype
-    f_flat = _flatten_hwc(fc).astype(jnp.float32)
+    f_flat = _flatten_hwc(fc)
+    if f_flat.dtype != jnp.bfloat16:
+        # bf16 features stay bf16 through the apply matmul (exact
+        # products, half the HBM reads — see _apply_kernel); everything
+        # else is promoted once.
+        f_flat = f_flat.astype(jnp.float32)
 
     w_c, mu_c = whitening_kernel(
         fc, eps=eps, trunc=trunc, method=method, groups=groups,
