@@ -68,6 +68,9 @@ def main() -> None:
 
     best = 0.0
     for dtype, method in modes:
+        # fold_transform stays off: measured 72 -> 52 fps with it on
+        # (XLA lowers batch_group_count convs ~4x slower than
+        # shared-weight convs on v5e) — see CascadeConfig.fold_transform
         cfg = cascade.CascadeConfig(compute_dtype=dtype, method=method)
         cache = cascade.precompute_style(params["encoder"], style, cfg)
         alpha = jnp.float32(0.6)

@@ -53,3 +53,20 @@ def test_upsample_nearest2(rng):
     assert out.shape == (1, 4, 6, 2)
     ref = np.repeat(np.repeat(x, 2, axis=1), 2, axis=2)
     np.testing.assert_array_equal(out, ref)
+
+
+def test_conv2d_reflect_perimage_matches_loop(rng):
+    """batch_group_count conv == per-image conv2d_reflect loop."""
+    import jax
+    import jax.numpy as jnp
+
+    from wct_tpu.ops.convs import conv2d_reflect, conv2d_reflect_perimage
+
+    B, H, W, Ci, Co = 3, 6, 7, 5, 4
+    x = jnp.asarray(rng.standard_normal((B, H, W, Ci)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((B, 3, 3, Ci, Co)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((B, Co)), jnp.float32)
+    got = conv2d_reflect_perimage(x, w, b)
+    for i in range(B):
+        ref = conv2d_reflect(x[i : i + 1], w[i], b[i])[0]
+        assert jnp.allclose(got[i], ref, atol=1e-5), f"image {i} mismatch"

@@ -294,3 +294,81 @@ class TestCascade:
             cascade.stylize(params, jnp.asarray(content), cache, 0.9, cfg)
             # Only float→array promotion differs; both hit one trace.
             assert cascade.stylize._cache_size() - n0 <= 1
+
+
+class TestTransformFolding:
+    """decode_folded ≡ transform-then-decode (both paths linear)."""
+
+    def test_decode_folded_matches_unfolded(self, params, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from wct_tpu.models import decoder as dec_lib
+
+        B, h, w, C = 2, 8, 8, 64
+        f = jnp.asarray(rng.standard_normal((B, h, w, C)), jnp.float32)
+        m = jnp.asarray(rng.standard_normal((B, C, C)) * 0.1, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((B, C)) * 0.1, jnp.float32)
+        transformed = jnp.einsum("bhwc,bcd->bhwd", f, m) + bias[:, None, None]
+        for target in ("relu1_1", "relu2_1"):
+            dp = params["decoders"][target]
+            if target == "relu2_1":
+                # relu2_1 decoder's first conv takes 128 channels
+                C2 = 128
+                f2 = jnp.asarray(
+                    rng.standard_normal((B, h, w, C2)), jnp.float32
+                )
+                m2 = jnp.asarray(
+                    rng.standard_normal((B, C2, C2)) * 0.1, jnp.float32
+                )
+                b2 = jnp.asarray(rng.standard_normal((B, C2)) * 0.1, jnp.float32)
+                t2 = jnp.einsum("bhwc,bcd->bhwd", f2, m2) + b2[:, None, None]
+                ref = dec_lib.decode(dp, t2, target)
+                got = dec_lib.decode_folded(dp, f2, target, m2, b2)
+            else:
+                ref = dec_lib.decode(dp, transformed, target)
+                got = dec_lib.decode_folded(dp, f, target, m, bias)
+            assert jnp.max(jnp.abs(got - ref)) < 1e-3, target
+
+    def test_decode_folded_diagonal(self, params, rng):
+        import jax.numpy as jnp
+
+        from wct_tpu.models import decoder as dec_lib
+
+        B, h, w, C = 2, 8, 8, 64
+        f = jnp.asarray(rng.standard_normal((B, h, w, C)), jnp.float32)
+        scale = jnp.asarray(1.0 + 0.1 * rng.standard_normal((B, C)), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((B, C)) * 0.1, jnp.float32)
+        transformed = f * scale[:, None, None] + bias[:, None, None]
+        ref = dec_lib.decode(params["decoders"]["relu1_1"], transformed, "relu1_1")
+        got = dec_lib.decode_folded(
+            params["decoders"]["relu1_1"], f, "relu1_1", scale, bias
+        )
+        assert jnp.max(jnp.abs(got - ref)) < 1e-4
+
+    def test_cascade_fold_on_off_agree(self, params, imgs):
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from wct_tpu.models import cascade
+
+        content, style = imgs
+        for transform in ("wct", "adain"):
+            cfg_on = cascade.CascadeConfig(
+                relu_targets=("relu2_1", "relu1_1"),
+                transform=transform,
+                fold_transform=True,
+            )
+            cfg_off = dataclasses.replace(cfg_on, fold_transform=False)
+            cache = cascade.precompute_style(
+                params["encoder"], jnp.asarray(style), cfg_on
+            )
+            content_b = jnp.asarray(content)
+            out_on = cascade.stylize(params, content_b, cache, 0.7, cfg_on)
+            out_off = cascade.stylize(params, content_b, cache, 0.7, cfg_off)
+            # identical math, different matmul association; untrained
+            # decoders amplify ULPs, so compare loosely
+            assert (
+                jnp.max(jnp.abs(out_on - out_off)) < 5e-2
+            ), transform

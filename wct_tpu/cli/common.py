@@ -88,23 +88,34 @@ def add_model_flags(p: argparse.ArgumentParser) -> None:
         "--preset",
         choices=["fidelity", "balanced", "throughput"],
         default=None,
-        help="quality/speed preset overriding --dtype/--method: "
+        help="quality/speed preset overriding --dtype/--method/--fold: "
         "fidelity = f32 + eigh (reference-exact truncation), "
         "balanced = f32 convs + auto solver (16 fps/chip at 512px), "
         "throughput = bf16 + fast Newton-Schulz (70+ fps/chip at 512px)",
     )
+    p.add_argument(
+        "--fold",
+        action=argparse.BooleanOptionalAction,
+        default=None,
+        help="fold the per-image WCT/AdaIN affine into the decoder's "
+        "first conv. Wins on CPU-class backends; measured a LOSS on "
+        "TPU v5e (XLA lowers batch_group_count convs ~4x slower than "
+        "shared-weight convs), so no preset enables it",
+    )
 
 
 _PRESETS = {
-    "fidelity": ("float32", "eigh"),
-    "balanced": ("float32", "auto"),
-    "throughput": ("bfloat16", "newton_schulz_fast"),
+    "fidelity": ("float32", "eigh", False),
+    "balanced": ("float32", "auto", False),
+    "throughput": ("bfloat16", "newton_schulz_fast", False),
 }
 
 
 def config_from_args(args: argparse.Namespace) -> cascade.CascadeConfig:
     if getattr(args, "preset", None):
-        args.dtype, args.method = _PRESETS[args.preset]
+        args.dtype, args.method, preset_fold = _PRESETS[args.preset]
+        if getattr(args, "fold", None) is None:
+            args.fold = preset_fold
     return cascade.CascadeConfig(
         relu_targets=tuple(args.relu_targets),
         transform="adain" if args.adain else "wct",
@@ -117,6 +128,7 @@ def config_from_args(args: argparse.Namespace) -> cascade.CascadeConfig:
         compute_dtype=args.dtype,
         wct_groups=args.wct_groups,
         soft_trunc=args.soft_trunc,
+        fold_transform=bool(getattr(args, "fold", None)),
     )
 
 

@@ -77,6 +77,20 @@ class CascadeConfig:
     # reference behavior; >1 trades coupling across channel groups for
     # G²-cheaper decompositions. swap5's whitened space stays ungrouped.
     wct_groups: int = 1
+    # Fold the per-image WCT/AdaIN affine into the decoder's first conv
+    # (decoder.py: decode_folded) instead of materializing the
+    # transformed feature map: deletes an [N, C] read+write round trip
+    # and its layout copies per level (~14 ms/batch-16 at relu1_1,
+    # 512px — the biggest single WCT-stage cost). Mathematically
+    # identical (both ops are linear); floating-point rounding differs
+    # at the usual matmul-reassociation level, and the folded conv's
+    # per-image weights make direct ``stylize`` fp-sensitive to the
+    # SUBMITTED batch shape (fixed-shape serving via
+    # ``stylize_microbatched`` is immune, as always). Default off =
+    # exact legacy fp behavior; the throughput preset and bench turn
+    # it on. swap5's level always takes the unfolded path (the swap is
+    # nonlinear).
+    fold_transform: bool = False
 
     def __post_init__(self):
         from wct_tpu.models import vgg  # local: avoid import cycle
@@ -283,10 +297,40 @@ def stylize_fn(
         for level in cfg.relu_targets:
             feats = vgg.encode(params["encoder"], img, level)
             style = style_cache[level]
-            transformed = jax.vmap(
-                lambda f: _transform_level(f, level, style, alpha, cfg)
-            )(feats)
-            img = dec_lib.decode(params["decoders"][level], transformed, level)
+            # Fold only where it pays: the affine fold costs O(9·C³)
+            # per image in weight-space and saves an O(N·C) feature-map
+            # round trip — a win at the shallow levels (C ≤ 128, big
+            # maps), a loss at relu3_1+ (C ≥ 256, tiny maps; measured
+            # 72 → 52 fps when folding ALL levels at 512px/batch-16).
+            foldable = (
+                cfg.fold_transform
+                and vgg.TARGET_CHANNELS[level] <= 128
+                and not (cfg.swap5 and level == "relu5_1")
+            )
+            if foldable:
+                if cfg.transform == "adain":
+                    m, bias = jax.vmap(
+                        lambda f: adain_ops.adain_transform(
+                            f, style.adain, alpha
+                        )
+                    )(feats)
+                else:
+                    m, bias = jax.vmap(
+                        lambda f: wct_ops.wct_transform(
+                            f, style.stats, alpha, method=cfg.method,
+                            groups=cfg.wct_groups, soft_trunc=cfg.soft_trunc,
+                        )
+                    )(feats)
+                img = dec_lib.decode_folded(
+                    params["decoders"][level], feats, level, m, bias
+                )
+            else:
+                transformed = jax.vmap(
+                    lambda f: _transform_level(f, level, style, alpha, cfg)
+                )(feats)
+                img = dec_lib.decode(
+                    params["decoders"][level], transformed, level
+                )
             if cfg.clip_between_levels:
                 img = jnp.clip(img, 0.0, 1.0)
     # Reference clips once before save (stylize.py:~150).

@@ -19,7 +19,11 @@ import jax
 import jax.numpy as jnp
 
 from wct_tpu.models import vgg
-from wct_tpu.ops.convs import conv2d_reflect, upsample_nearest2
+from wct_tpu.ops.convs import (
+    conv2d_reflect,
+    conv2d_reflect_perimage,
+    upsample_nearest2,
+)
 
 
 def decoder_layers(target: str) -> tuple[tuple, ...]:
@@ -65,16 +69,55 @@ def decode(params: dict, f: jax.Array, target: str) -> jax.Array:
     Output is raw (unclipped) RGB in ≈[0, 1]; callers clip
     (reference clips in stylize.py before save).
     """
+    return _decode(params, f, decoder_layers(target), start=0)
+
+
+def decode_folded(
+    params: dict, f: jax.Array, target: str, m: jax.Array, bias: jax.Array
+) -> jax.Array:
+    """Decode with a per-image affine folded into the first conv.
+
+    ``decode(params, vmap(x ↦ x@M_b + bias_b)(f), target)`` computed
+    WITHOUT materializing the transformed feature map: the affine and
+    the conv are both linear and reflect padding commutes with a
+    per-pixel affine, so
+
+        conv(f @ M + β) = conv'(f),   w'[ky,kx] = M @ w[ky,kx],
+                                      b' = b + β @ Σ_{ky,kx} w[ky,kx]
+
+    ``m`` is ``[B, C, C]`` dense (WCT) or ``[B, C]`` diagonal (AdaIN);
+    ``bias`` is ``[B, C]``. The folded conv runs with per-image weights
+    (ops/convs.py: ``conv2d_reflect_perimage``). Folding the [C, C]
+    matrices costs O(9·C³) per image — sub-millisecond against the
+    [N, C] feature-map round trip it deletes (N = H·W ≫ C).
+    """
     layers = decoder_layers(target)
-    x = f
+    _, name, *_ = layers[0]
+    p = params[name]
+    w = p["w"].astype(jnp.float32)
+    if m.ndim == 3:
+        w_fold = jnp.einsum("bij,yxjo->byxio", m, w)
+    else:
+        w_fold = w[None] * m[:, None, None, :, None]
+    b_fold = p["b"].astype(jnp.float32)[None] + jnp.einsum(
+        "bj,yxjo->bo", bias, w
+    )
+    x = conv2d_reflect_perimage(f, w_fold, b_fold)
+    if len(layers) > 1:  # final conv is linear (reference model.py:~135)
+        x = jax.nn.relu(x)
+    return _decode(params, x, layers, start=1)
+
+
+def _decode(params: dict, x: jax.Array, layers: tuple, start: int) -> jax.Array:
     last = len(layers) - 1
-    for i, spec in enumerate(layers):
+    for i in range(start, len(layers)):
+        spec = layers[i]
         if spec[0] == "upsample":
             x = upsample_nearest2(x)
             continue
         _, name, *_ = spec
         p = params[name]
         x = conv2d_reflect(x, p["w"], p["b"])
-        if i != last:  # final conv is linear (reference model.py:~135)
+        if i != last:
             x = jax.nn.relu(x)
     return x

@@ -60,6 +60,28 @@ def adain_from_stats(
     return (alpha * out + (1.0 - alpha) * f32).astype(in_dtype)
 
 
+def adain_transform(
+    fc: jax.Array,
+    stats: AdainStats,
+    alpha: jax.Array | float = 1.0,
+    eps: float = DEFAULT_EPS,
+) -> tuple[jax.Array, jax.Array]:
+    """AdaIN as an explicit per-image DIAGONAL affine: ``(scale [C], bias [C])``.
+
+    ``adain_from_stats(fc, …) == fc * scale + bias`` — the α blend
+    folded in. Exposed so the cascade can fold the affine into the
+    decoder's first conv (models/decoder.py: ``decode_folded``) instead
+    of materializing the transformed feature map.
+    """
+    f32 = fc.astype(jnp.float32)
+    mu_c, var_c = moments0(f32.reshape(-1, f32.shape[-1]))
+    s = stats.std * jax.lax.rsqrt(var_c + eps)
+    alpha = jnp.asarray(alpha, dtype=jnp.float32)
+    scale = alpha * s + (1.0 - alpha)
+    bias = alpha * (stats.mean - s * mu_c)
+    return scale, bias
+
+
 def adain(
     fc: jax.Array,
     fs: jax.Array,

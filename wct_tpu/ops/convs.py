@@ -55,6 +55,40 @@ def conv2d_reflect(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     return out + b.astype(out.dtype)
 
 
+def conv2d_reflect_perimage(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """Reflect conv where every batch item has ITS OWN weights.
+
+    ``x: [B, H, W, Ci]``, ``w: [B, kh, kw, Ci, Co]``, ``b: [B, Co]``.
+    Lowered as ONE grouped conv via ``batch_group_count=B`` (output
+    feature group g is produced from batch item g), not B separate
+    convs — XLA keeps it a single MXU contraction with an effective
+    [kh·kw·Ci, B·Co] filter matrix.
+
+    This exists for transform folding: the cascade folds each image's
+    WCT/AdaIN affine into the decoder's first conv (decoder.py:
+    ``decode_folded``), which makes the weights per-image.
+    """
+    B, H, W, Ci = x.shape
+    _, kh, kw, _, Co = w.shape
+    assert kh == kw, "square kernels only"
+    xp = pad_reflect(x, (kh - 1) // 2)
+    # Output-feature order for batch groups is (B, Co): group g's
+    # channels are [g*Co, (g+1)*Co) (verified against a per-image loop
+    # in tests/test_convs.py).
+    rhs = jnp.transpose(w, (1, 2, 3, 0, 4)).reshape(kh, kw, Ci, B * Co)
+    out = jax.lax.conv_general_dilated(
+        xp,
+        rhs.astype(x.dtype),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=_DN,
+        batch_group_count=B,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out = out.reshape(H, W, B, Co) + b.astype(out.dtype)[None, None]
+    return jnp.transpose(out, (2, 0, 1, 3))
+
+
 def maxpool2(x: jax.Array) -> jax.Array:
     """2×2/stride-2 max pool (reference SpatialMaxPooling → MaxPooling2D)."""
     return jax.lax.reduce_window(

@@ -392,6 +392,72 @@ def interpolate_stats(stats: list[StyleStats], weights: jax.Array) -> StyleStats
     )
 
 
+def wct_transform(
+    fc: jax.Array,
+    stats: StyleStats,
+    alpha: jax.Array | float = 1.0,
+    *,
+    eps: float = DEFAULT_EPS,
+    trunc: float = DEFAULT_TRUNC,
+    method: Method = "eigh",
+    groups: int = 1,
+    soft_trunc: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """The WCT as an explicit per-image affine: ``(M [C, C], bias [C])``.
+
+    ``wct_from_stats(fc, …) == fc_flat @ M + bias`` — whitening,
+    coloring, AND the α blend folded into one C×C matrix (grouped
+    kernels are expanded block-diagonal so callers get a dense M).
+    Exposed separately so consumers can fold the affine into whatever
+    linear op FOLLOWS the transform — the cascade folds it into the
+    decoder's first conv (models/decoder.py:decode_folded), which
+    deletes the apply matmul's [N, C] read+write round trip and its
+    layout copies (~14 ms/batch-16 at relu1_1, 512px, measured).
+    """
+    c = fc.shape[-1]
+    w_c, mu_c = whitening_kernel(
+        fc, eps=eps, trunc=trunc, method=method, groups=groups,
+        soft_trunc=soft_trunc,
+    )
+    k_s = stats.kernel.astype(jnp.float32)
+    if w_c.ndim != k_s.ndim:
+        raise ValueError(
+            "content whitening groups do not match cached style stats "
+            f"(kernel ranks {w_c.ndim} vs {k_s.ndim}) — precompute the "
+            "style with the same `groups`"
+        )
+    alpha = jnp.asarray(alpha, dtype=jnp.float32)
+    mu_s = stats.mean.astype(jnp.float32)
+    if w_c.ndim == 2:
+        transform = jax.lax.dot_general(
+            w_c, k_s,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        eye = jnp.eye(c, dtype=jnp.float32)
+        mu_c_t = reductions.vecmat(mu_c, transform)
+        blended = alpha * transform + (1.0 - alpha) * eye
+    else:
+        transform = jnp.einsum(
+            "gab,gbc->gac", w_c, k_s, preferred_element_type=jnp.float32
+        )
+        g, cg, _ = transform.shape
+        eye = jnp.broadcast_to(jnp.eye(cg, dtype=jnp.float32), (g, cg, cg))
+        mu_c_t = jax.vmap(reductions.vecmat)(
+            mu_c.reshape(g, cg), transform
+        ).reshape(c)
+        blocks = alpha * transform + (1.0 - alpha) * eye
+        # Dense block-diagonal expansion: [G, Cg, Cg] → [C, C].
+        blended = (
+            jnp.zeros((g, cg, g, cg), jnp.float32)
+            .at[jnp.arange(g), :, jnp.arange(g), :]
+            .set(blocks)
+            .reshape(c, c)
+        )
+    bias = alpha * (mu_s - mu_c_t)
+    return blended, bias
+
+
 def wct_from_stats(
     fc: jax.Array,
     stats: StyleStats,
@@ -462,6 +528,11 @@ def wct_from_stats(
         ).reshape(c)
     blended = alpha * transform + (1.0 - alpha) * eye
     bias = alpha * (mu_s - mu_c_t)
+    # NOTE on layouts (measured, v5e 512px/batch-16): contracting the
+    # channel dim on the 3-D [H, W, C] map instead of this flattened
+    # [N, C] matmul removes the apply-local layout copies but makes XLA
+    # re-tile the reflect-pad/conv path instead — net −1.4 fps. The
+    # flat form is the better global layout equilibrium.
     out = _apply_kernel(f_flat, blended) + bias[None, :]
     return out.reshape(h, w, c).astype(in_dtype)
 
