@@ -70,3 +70,22 @@ def test_conv2d_reflect_perimage_matches_loop(rng):
     for i in range(B):
         ref = conv2d_reflect(x[i : i + 1], w[i], b[i])[0]
         assert jnp.allclose(got[i], ref, atol=1e-5), f"image {i} mismatch"
+
+
+def test_nchw_spike_kernel_matches_xla(rng):
+    """scripts/exp_nchw_conv kernel == XLA conv (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scripts.exp_nchw_conv import conv3x3_reflect_nchw
+    from wct_tpu.ops.convs import conv2d_reflect
+
+    B, C, H, W = 2, 64, 32, 128
+    xn = jnp.asarray(rng.standard_normal((B, C, H, W)), jnp.bfloat16)
+    xh = jnp.transpose(xn, (0, 2, 3, 1))
+    w = jnp.asarray(rng.standard_normal((3, 3, C, 64)) * 0.1, jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((64,)) * 0.1, jnp.float32)
+    ref = jnp.transpose(jax.nn.relu(conv2d_reflect(xh, w, b)), (0, 3, 1, 2))
+    got = conv3x3_reflect_nchw(xn, w, b, True)
+    err = jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32)))
+    assert float(err) < 0.1  # bf16 output rounding
