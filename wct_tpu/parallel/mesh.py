@@ -52,6 +52,12 @@ def shard_batch(x: jax.Array, mesh: Mesh, axis_name: str = "data") -> jax.Array:
     return jax.device_put(x, batch_sharding(mesh, axis_name))
 
 
+def shard_spatial(x: jax.Array, mesh: Mesh, axis_name: str = "data") -> jax.Array:
+    """Place images onto the mesh sharded over HEIGHT (dim 1) — the
+    input placement ``stylize_spatial`` expects."""
+    return jax.device_put(x, NamedSharding(mesh, P(None, axis_name)))
+
+
 def stylize_sharded(
     params: dict,
     content: jax.Array,
