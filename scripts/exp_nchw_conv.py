@@ -120,6 +120,86 @@ def conv3x3_reflect_nchw(
     )(x, x, x, wmat, b32)
 
 
+def _kernel_nhwc_io(xt_ref, xb_ref, xg_ref, w_ref, b_ref, out_ref, *,
+                    th, W, relu):
+    """Same compute core, but NHWC HBM blocks with in-kernel transposes.
+
+    This is the junction-kernel-realistic path: cascade tensors are
+    NHWC in HBM; the kernel transposes each block to channel-on-sublane
+    form, computes, and transposes back. Measures BOTH the padded-DMA
+    cost and the VMEM transpose cost in one number.
+    """
+    xh = jnp.concatenate([xt_ref[0], xb_ref[0], xg_ref[0]], axis=0)
+    x = jnp.transpose(xh, (2, 0, 1))  # [cin, th+2, W]
+    xp = jnp.concatenate([x[:, :, 1:2], x, x[:, :, W - 2 : W - 1]], axis=2)
+    cin = xp.shape[0]
+    cout = w_ref.shape[0]
+
+    for s in range(th // _SC):
+        r0 = s * _SC
+        taps = []
+        for dy in range(3):
+            for dx in range(3):
+                taps.append(xp[:, r0 + dy : r0 + dy + _SC, dx : dx + W])
+        z = jnp.concatenate(taps, axis=0)
+        y = jax.lax.dot_general(
+            w_ref[:], z,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = y + b_ref[:][:, None, None]
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        out_ref[0, r0 : r0 + _SC] = jnp.transpose(y, (1, 2, 0)).astype(
+            out_ref.dtype
+        )
+
+
+def conv3x3_reflect_nhwc_io(
+    x: jax.Array, w: jax.Array, b: jax.Array, relu: bool = True
+) -> jax.Array:
+    """NHWC in/out, channel-sublane compute inside. x [B, H, W, Ci]."""
+    B, H, W, cin = x.shape
+    cout = w.shape[3]
+    wmat = jnp.transpose(w, (3, 0, 1, 2)).reshape(cout, 9 * cin)
+    wmat = wmat.astype(x.dtype)
+    b32 = b.astype(jnp.float32)
+    th = _TH
+
+    def top_map(bi, rt):
+        return (bi, jnp.abs(rt * th - 1), 0, 0)
+
+    def bot_map(bi, rt):
+        g = rt * th + th
+        return (bi, jnp.minimum(g, 2 * (H - 1) - g), 0, 0)
+
+    kern = functools.partial(_kernel_nhwc_io, th=th, W=W, relu=relu)
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        kern,
+        grid=(B, H // th),
+        in_specs=[
+            pl.BlockSpec((1, 1, W, cin), top_map),
+            pl.BlockSpec((1, th, W, cin), lambda bi, rt: (bi, rt, 0, 0)),
+            pl.BlockSpec((1, 1, W, cin), bot_map),
+            pl.BlockSpec(wmat.shape, lambda bi, rt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(b32.shape, lambda bi, rt: (0,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, W, cout), lambda bi, rt: (bi, rt, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, cout), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * 9 * cin * cout,
+            bytes_accessed=B * H * W * (cin + cout) * 2,
+            transcendentals=0,
+        ),
+    )(x, x, x, wmat, b32)
+
+
 def main():
     sys.path.insert(0, "/root/repo")
     from wct_tpu.cli.common import enable_compile_cache
@@ -152,6 +232,9 @@ def main():
 
     f_p = jax.jit(lambda x, w, b: conv3x3_reflect_nchw(x, w, b, True))
     log(f"pallas NCHW conv+relu:{timeit(f_p, xn, w, b):6.2f} ms")
+
+    f_h = jax.jit(lambda x, w, b: conv3x3_reflect_nhwc_io(x, w, b, True))
+    log(f"pallas NHWC-io conv+relu:{timeit(f_h, xh, w, b):6.2f} ms")
 
     # correctness spot check (small slice readback only)
     ref = f_x(xh, w, b)
