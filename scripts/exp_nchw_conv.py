@@ -201,24 +201,13 @@ def conv3x3_reflect_nhwc_io(
 
 
 def main():
-    sys.path.insert(0, "/root/repo")
     from wct_tpu.cli.common import enable_compile_cache
     from wct_tpu.ops.convs import conv2d_reflect
-    from wct_tpu.utils.profiling import device_sync
+    from wct_tpu.utils.profiling import device_sync, timeit_min as timeit
 
     enable_compile_cache()
     log(f"device: {jax.devices()[0].device_kind}")
 
-    def timeit(fn, *args, iters=10):
-        out = fn(*args)
-        device_sync(out)
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            outs = [fn(*args) for _ in range(iters)]
-            device_sync(outs[-1])
-            ts.append((time.perf_counter() - t0) / iters)
-        return min(ts) * 1e3
 
     rng = np.random.default_rng(0)
     B, C, H, W = 16, 64, 512, 512

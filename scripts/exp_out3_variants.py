@@ -61,13 +61,6 @@ def conv_nchw(x, w, b):
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
-def conv_nchw_in(x, w, b):
-    """NCHW in AND out (amortize the transpose into the decoder chain)."""
-    # x arrives NHWC here; in a real integration the whole tail would
-    # run NCHW. Time just the conv by pre-transposing OUTSIDE the jit.
-    return None  # handled in main
-
-
 def main():
     enable_compile_cache()
     log(f"device: {jax.devices()[0].device_kind}")

@@ -20,21 +20,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from wct_tpu.cli.common import enable_compile_cache
-from wct_tpu.utils.profiling import device_sync
+from wct_tpu.utils.profiling import device_sync, timeit_min as timeit
 
 log = lambda *a: print(*a, file=sys.stderr, flush=True)
 
 
-def timeit(fn, *args, iters=10):
-    out = fn(*args)
-    device_sync(out)
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        outs = [fn(*args) for _ in range(iters)]
-        device_sync(outs[-1])
-        ts.append((time.perf_counter() - t0) / iters)
-    return min(ts) * 1e3
 
 
 def conv(x, w, relu=True):

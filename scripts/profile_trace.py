@@ -49,9 +49,9 @@ def parse_xplane(tmpdir, top=40):
                 continue
             ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
             for line in plane.lines:
-                # XLA op lines carry per-op events; step lines etc. skipped
-                if "XLA Op" not in line.name and "Ops" not in line.name \
-                        and "xla" not in line.name.lower():
+                # ONLY the per-op line: module/TraceMe lines span whole
+                # executions and would double-count device time.
+                if line.name != "XLA Ops":
                     continue
                 for ev in line.events:
                     totals[ev_meta.get(ev.metadata_id, "?")] += ev.duration_ps

@@ -89,3 +89,44 @@ def test_nchw_spike_kernel_matches_xla(rng):
     got = conv3x3_reflect_nchw(xn, w, b, True)
     err = jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32)))
     assert float(err) < 0.1  # bf16 output rounding
+
+
+def test_conv_pallas_small_matches_xla(rng):
+    """ops/conv_pallas fulltap + rowpack == XLA conv (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wct_tpu.ops.conv_pallas import (
+        _eligible,
+        conv2d_reflect_fused,
+        conv3x3_reflect_pallas,
+    )
+    from wct_tpu.ops.convs import conv2d_reflect
+
+    for (B, H, W, ci, co, relu) in [
+        (2, 16, 24, 64, 3, False),   # fulltap
+        (1, 8, 16, 64, 64, True),    # rowpack
+        (2, 32, 16, 3, 64, True),    # fulltap... 9*64>128 -> rowpack
+    ]:
+        x = jnp.asarray(rng.standard_normal((B, H, W, ci)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((3, 3, ci, co)) * 0.1, jnp.bfloat16)
+        b = jnp.asarray(rng.standard_normal((co,)) * 0.1, jnp.float32)
+        assert _eligible(x, w)
+        ref = conv2d_reflect(x, w, b)
+        if relu:
+            ref = jax.nn.relu(ref)
+        got = conv3x3_reflect_pallas(x, w, b, relu)
+        err = jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32)))
+        assert float(err) < 0.1, (ci, co)
+        # the dispatching wrapper routes the same way
+        got2 = conv2d_reflect_fused(x, w, b, relu, impl="pallas_small")
+        assert jnp.array_equal(got, got2)
+
+    # ineligible (width not 8-aligned) falls back to XLA
+    x = jnp.asarray(rng.standard_normal((1, 8, 20, 64)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((3, 3, 64, 3)) * 0.1, jnp.bfloat16)
+    b = jnp.zeros((3,), jnp.float32)
+    assert not _eligible(x, w)
+    ref = conv2d_reflect(x, w, b)
+    got = conv2d_reflect_fused(x, w, b, relu=False, impl="pallas_small")
+    assert jnp.array_equal(got, ref)

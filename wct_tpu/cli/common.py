@@ -88,7 +88,8 @@ def add_model_flags(p: argparse.ArgumentParser) -> None:
         "--preset",
         choices=["fidelity", "balanced", "throughput"],
         default=None,
-        help="quality/speed preset overriding --dtype/--method/--fold: "
+        help="quality/speed preset setting --dtype/--method (an "
+        "explicit --fold/--no-fold always wins over the preset): "
         "fidelity = f32 + eigh (reference-exact truncation), "
         "balanced = f32 convs + auto solver (16 fps/chip at 512px), "
         "throughput = bf16 + fast Newton-Schulz (70+ fps/chip at 512px)",

@@ -86,10 +86,12 @@ class CascadeConfig:
     # at the usual matmul-reassociation level, and the folded conv's
     # per-image weights make direct ``stylize`` fp-sensitive to the
     # SUBMITTED batch shape (fixed-shape serving via
-    # ``stylize_microbatched`` is immune, as always). Default off =
-    # exact legacy fp behavior; the throughput preset and bench turn
-    # it on. swap5's level always takes the unfolded path (the swap is
-    # nonlinear).
+    # ``stylize_microbatched`` is immune, as always). Off everywhere by
+    # default INCLUDING presets: on TPU v5e the folded conv measured a
+    # net LOSS (XLA lowers batch_group_count convs ~4.4x slower than
+    # shared-weight convs — DESIGN.md §3), so this is opt-in for
+    # backends where grouped convs lower well. swap5's level always
+    # takes the unfolded path (the swap is nonlinear).
     fold_transform: bool = False
 
     def __post_init__(self):

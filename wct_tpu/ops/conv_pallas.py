@@ -14,6 +14,14 @@ reformulation wins: tap-expansion in XLA loses to fusion costs, output
 -channel padding and NCHW layouts measured strictly worse
 (scripts/exp_tapexpand.py, scripts/exp_out3_variants.py).
 
+STATUS (measured, v5e): this kernel is CORRECT but LOSES to the XLA
+conv emitter — 23.6 ms vs 7.1 ms in-cascade for the 64→64 case —
+because 64-lane-padded NHWC blocks cap the pallas block pipeline at
+~86 GB/s logical (a pure block COPY of the same array takes 12.4 ms;
+see DESIGN.md §3). It is kept, unwired, as the documented baseline
+for the channel-on-sublane redesign (scripts/exp_nchw_conv.py); do
+not route production convs through it on TPU.
+
 The kernel reshapes the conv into MXU-shaped matmuls, keeping every
 intermediate in VMEM:
 

@@ -33,6 +33,26 @@ def device_sync(out=None) -> None:
             _ = np.asarray(leaves[0].ravel()[0])
 
 
+def timeit_min(fn, *args, iters: int = 10, repeats: int = 3) -> float:
+    """min-of-``repeats`` mean-of-``iters`` wall time of ``fn(*args)``, ms.
+
+    The single measurement protocol for every perf experiment
+    (scripts/exp_*.py) so numbers are comparable across scripts: warm
+    up once, then time ``iters`` enqueues ending in ONE device_sync
+    (tunnel RTT amortized), keep the best of ``repeats`` runs (kicks
+    out tunnel hiccups).
+    """
+    out = fn(*args)
+    device_sync(out)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(iters)]
+        device_sync(outs[-1])
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best * 1e3
+
+
 class StageTimer:
     """Accumulating named stage timer with device-synced boundaries."""
 
