@@ -372,3 +372,91 @@ class TestTransformFolding:
             assert (
                 jnp.max(jnp.abs(out_on - out_off)) < 5e-2
             ), transform
+
+
+class TestFusedJunction:
+    """fuse_junction=True ≡ the unfused cascade (same math)."""
+
+    def test_fused_matches_unfused_f32(self, params, imgs):
+        import dataclasses
+
+        content, style = imgs
+        cfg = cascade.CascadeConfig(
+            relu_targets=("relu3_1", "relu2_1", "relu1_1"),
+            fuse_junction=True,
+        )
+        # the fixture images must satisfy the shape gate
+        assert content.shape[1] % 16 == 0 and content.shape[2] % 16 == 0
+        cfg_off = dataclasses.replace(cfg, fuse_junction=False)
+        cache = cascade.precompute_style(
+            params["encoder"], jnp.asarray(style), cfg
+        )
+        c = jnp.asarray(content)
+        on = cascade.stylize(params, c, cache, 0.7, cfg)
+        off = cascade.stylize(params, c, cache, 0.7, cfg_off)
+        # f32 path: matmul-association-level agreement only (untrained
+        # decoders amplify ULPs through 3 levels)
+        assert float(jnp.max(jnp.abs(on - off))) < 2e-2
+
+    def test_fused_clip_between_levels(self, params, imgs):
+        import dataclasses
+
+        content, style = imgs
+        cfg = cascade.CascadeConfig(
+            relu_targets=("relu2_1", "relu1_1"),
+            fuse_junction=True,
+            clip_between_levels=True,
+        )
+        cfg_off = dataclasses.replace(cfg, fuse_junction=False)
+        cache = cascade.precompute_style(
+            params["encoder"], jnp.asarray(style), cfg
+        )
+        c = jnp.asarray(content)
+        on = cascade.stylize(params, c, cache, 0.7, cfg)
+        off = cascade.stylize(params, c, cache, 0.7, cfg_off)
+        assert float(jnp.max(jnp.abs(on - off))) < 2e-2
+
+    def test_fused_multi_pass_and_bf16(self, params, imgs):
+        import dataclasses
+
+        content, style = imgs
+        cfg = cascade.CascadeConfig(
+            relu_targets=("relu2_1", "relu1_1"),
+            fuse_junction=True,
+            passes=2,
+            compute_dtype="bfloat16",
+            method="auto",
+        )
+        cfg_off = dataclasses.replace(cfg, fuse_junction=False)
+        cache = cascade.precompute_style(
+            params["encoder"], jnp.asarray(style), cfg
+        )
+        c = jnp.asarray(content)
+        on = cascade.stylize(params, c, cache, 0.7, cfg)
+        off = cascade.stylize(params, c, cache, 0.7, cfg_off)
+        assert on.shape == off.shape
+        assert bool(jnp.all(jnp.isfinite(on)))
+        # bf16 + 2 passes through UNTRAINED decoders amplifies fp noise
+        # to full scale (0/1 clip flips), so only a structural check is
+        # meaningful here; exact agreement is pinned by the f32 tests.
+        assert float(jnp.min(on)) >= 0.0 and float(jnp.max(on)) <= 1.0
+
+    def test_fuse_rejects_fold_combo(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            cascade.CascadeConfig(fuse_junction=True, fold_transform=True)
+
+    def test_unfusable_shape_falls_back(self, params, imgs):
+        """Shapes failing the W%128 gate silently run unfused."""
+        content, style = imgs
+        cfg = cascade.CascadeConfig(
+            relu_targets=("relu2_1", "relu1_1"), fuse_junction=True
+        )
+        cache = cascade.precompute_style(
+            params["encoder"], jnp.asarray(style), cfg
+        )
+        c = jnp.asarray(content)[:, :24, :, :]  # H=24 not mult of 16
+        out = cascade.stylize(params, c, cache, 0.7, cfg)
+        assert out.shape == c.shape
+        assert bool(jnp.all(jnp.isfinite(out)))

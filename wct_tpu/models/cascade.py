@@ -93,6 +93,15 @@ class CascadeConfig:
     # backends where grouped convs lower well. swap5's level always
     # takes the unfolded path (the swap is nonlinear).
     fold_transform: bool = False
+    # Fuse each level boundary's 512²-tier ops — decoder tail
+    # [upsample, conv64→64, conv64→3] + encoder head [conv0∘conv1_1
+    # (+ conv1_2, pool1)] — into ONE Pallas kernel
+    # (ops/junction_pallas.py): intermediates stay in VMEM instead of
+    # six HBM round trips over full-resolution maps. Math is identical
+    # (f32-exact boundary semantics, tested); fp rounding differs at
+    # matmul-association level. Requires the full-res H and W to be
+    # multiples of 16 — other shapes silently take the unfused path.
+    fuse_junction: bool = False
 
     def __post_init__(self):
         from wct_tpu.models import vgg  # local: avoid import cycle
@@ -128,6 +137,12 @@ class CascadeConfig:
                 f"wct_groups={self.wct_groups} must divide every level's "
                 f"channel count "
                 f"({ {t: vgg.TARGET_CHANNELS[t] for t in self.relu_targets} })"
+            )
+        if self.fuse_junction and self.fold_transform:
+            raise ValueError(
+                "fuse_junction and fold_transform are mutually exclusive "
+                "(the junction kernel replaces the decoder tail the fold "
+                "would rewrite)"
             )
 
     @property
@@ -295,9 +310,22 @@ def stylize_fn(
         # reflect needs pad < dim; fall back to edge for tiny inputs.
         mode = "reflect" if (pad_h < h and pad_w < w) else "edge"
         img = jnp.pad(img, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode=mode)
+    # Fused-junction eligibility is static (shapes are known at trace
+    # time); ineligible shapes silently take the unfused path.
+    junction_ok = (
+        cfg.fuse_junction and (h + pad_h) % 16 == 0 and (w + pad_w) % 16 == 0
+    )
+    state_kind, state_val = "img", img
     for _ in range(cfg.passes):
-        for level in cfg.relu_targets:
-            feats = vgg.encode(params["encoder"], img, level)
+        for li, level in enumerate(cfg.relu_targets):
+            if state_kind == "img":
+                feats = vgg.encode(params["encoder"], state_val, level)
+            elif state_kind == "pooled":
+                feats = vgg.encode_from_pool1(
+                    params["encoder"], state_val, level
+                )
+            else:  # 'e1' — the junction already produced relu1_1 features
+                feats = state_val
             style = style_cache[level]
             # Fold only where it pays: the affine fold costs O(9·C³)
             # per image in weight-space and saves an O(N·C) feature-map
@@ -308,6 +336,11 @@ def stylize_fn(
                 cfg.fold_transform
                 and vgg.TARGET_CHANNELS[level] <= 128
                 and not (cfg.swap5 and level == "relu5_1")
+            )
+            nxt = (
+                cfg.relu_targets[li + 1]
+                if li + 1 < len(cfg.relu_targets)
+                else None
             )
             if foldable:
                 if cfg.transform == "adain":
@@ -323,20 +356,45 @@ def stylize_fn(
                             groups=cfg.wct_groups, soft_trunc=cfg.soft_trunc,
                         )
                     )(feats)
-                img = dec_lib.decode_folded(
+                out = dec_lib.decode_folded(
                     params["decoders"][level], feats, level, m, bias
                 )
+                if cfg.clip_between_levels:
+                    out = jnp.clip(out, 0.0, 1.0)
+                state_kind, state_val = "img", out
+                continue
+            transformed = jax.vmap(
+                lambda f: _transform_level(f, level, style, alpha, cfg)
+            )(feats)
+            if (
+                junction_ok
+                and nxt is not None
+                and dec_lib.has_standard_tail(level)
+            ):
+                from wct_tpu.ops import junction_pallas  # lazy pallas dep
+
+                dec_p = params["decoders"][level]
+                enc = params["encoder"]
+                d = dec_lib.decode_partial(dec_p, transformed, level)
+                deep = nxt != "relu1_1"
+                out = junction_pallas.junction(
+                    d,
+                    *dec_lib.tail_weights(dec_p, level),
+                    enc["conv0"]["w"], enc["conv0"]["b"],
+                    enc["conv1_1"]["w"], enc["conv1_1"]["b"],
+                    enc["conv1_2"]["w"], enc["conv1_2"]["b"],
+                    deep=deep, clip=cfg.clip_between_levels,
+                )
+                state_kind, state_val = ("pooled" if deep else "e1"), out
             else:
-                transformed = jax.vmap(
-                    lambda f: _transform_level(f, level, style, alpha, cfg)
-                )(feats)
-                img = dec_lib.decode(
+                out = dec_lib.decode(
                     params["decoders"][level], transformed, level
                 )
-            if cfg.clip_between_levels:
-                img = jnp.clip(img, 0.0, 1.0)
+                if cfg.clip_between_levels:
+                    out = jnp.clip(out, 0.0, 1.0)
+                state_kind, state_val = "img", out
     # Reference clips once before save (stylize.py:~150).
-    img = jnp.clip(img, 0.0, 1.0)
+    img = jnp.clip(state_val, 0.0, 1.0)
     return img[:, :h, :w, :]
 
 

@@ -108,6 +108,49 @@ def decode_folded(
     return _decode(params, x, layers, start=1)
 
 
+def has_standard_tail(target: str) -> bool:
+    """True iff the decoder ends [upsample, conv 64→64, conv 64→3] —
+    the shape the fused junction kernel (ops/junction_pallas.py)
+    replaces. Holds for every target deeper than relu1_1."""
+    layers = decoder_layers(target)
+    if len(layers) < 3:
+        return False
+    up, c1, c2 = layers[-3], layers[-2], layers[-1]
+    return (
+        up[0] == "upsample"
+        and c1[0] == "conv" and c1[2] == 64 and c1[3] == 64
+        and c2[0] == "conv" and c2[2] == 64 and c2[3] == 3
+    )
+
+
+def decode_partial(params: dict, f: jax.Array, target: str) -> jax.Array:
+    """Run the decoder UP TO (excluding) its final [upsample, conv,
+    conv] tail; the fused junction kernel finishes the job. Every conv
+    here gets a ReLU (none is the final linear conv)."""
+    layers = decoder_layers(target)
+    assert has_standard_tail(target), target
+    x = f
+    for spec in layers[:-3]:
+        if spec[0] == "upsample":
+            x = upsample_nearest2(x)
+            continue
+        _, name, *_ = spec
+        p = params[name]
+        x = jax.nn.relu(conv2d_reflect(x, p["w"], p["b"]))
+    return x
+
+
+def tail_weights(params: dict, target: str) -> tuple:
+    """(w1, b1, w2, b2) of the decoder's final two convs (64→64, 64→3)."""
+    layers = decoder_layers(target)
+    _, n1, *_ = layers[-2]
+    _, n2, *_ = layers[-1]
+    return (
+        params[n1]["w"], params[n1]["b"],
+        params[n2]["w"], params[n2]["b"],
+    )
+
+
 def _decode(params: dict, x: jax.Array, layers: tuple, start: int) -> jax.Array:
     last = len(layers) - 1
     for i in range(start, len(layers)):

@@ -115,6 +115,31 @@ def encode(params: dict, x: jax.Array, target: str) -> jax.Array:
     return encode_multi(params, x, (target,))[target]
 
 
+_POOL1_IDX = next(
+    i for i, s in enumerate(ENCODER_LAYERS) if s[1:2] == ("pool1",)
+)
+
+
+def encode_from_pool1(params: dict, x: jax.Array, target: str) -> jax.Array:
+    """Resume encoding from the post-pool1 state (``x [B, H/2, W/2, 64]``).
+
+    Used with the fused junction kernel (ops/junction_pallas.py), which
+    emits the encoder state right after pool1; this runs conv2_1 →
+    ``target``. ``target`` must be relu2_1 or deeper.
+    """
+    idx = _TARGET_TO_IDX[target]
+    if idx <= _POOL1_IDX:
+        raise ValueError(f"{target} is before pool1; nothing to resume")
+    for spec in ENCODER_LAYERS[_POOL1_IDX + 1 : idx + 1]:
+        if spec[0] == "pool":
+            x = maxpool2(x)
+            continue
+        _, name, *_ = spec
+        p = params[name]
+        x = jax.nn.relu(conv2d_reflect(x, p["w"], p["b"]))
+    return x
+
+
 def encode_multi(
     params: dict, x: jax.Array, targets: tuple[str, ...]
 ) -> dict[str, jax.Array]:
