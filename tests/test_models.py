@@ -460,3 +460,27 @@ class TestFusedJunction:
         out = cascade.stylize(params, c, cache, 0.7, cfg)
         assert out.shape == c.shape
         assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_encoder_head_matches_xla(self, params, rng):
+        """encoder_head kernel == conv0→conv1_1→relu→conv1_2→relu→pool."""
+        from wct_tpu.models import vgg
+        from wct_tpu.ops import junction_pallas
+        from wct_tpu.ops.convs import conv2d_reflect, maxpool2
+
+        enc = params["encoder"]
+        img = jnp.asarray(rng.random((2, 48, 32, 3)), jnp.float32)
+        got = junction_pallas.encoder_head(
+            img,
+            enc["conv0"]["w"], enc["conv0"]["b"],
+            enc["conv1_1"]["w"], enc["conv1_1"]["b"],
+            enc["conv1_2"]["w"], enc["conv1_2"]["b"],
+        )
+        x = conv2d_reflect(img, enc["conv0"]["w"], enc["conv0"]["b"])
+        x = jax.nn.relu(conv2d_reflect(x, enc["conv1_1"]["w"], enc["conv1_1"]["b"]))
+        x = jax.nn.relu(conv2d_reflect(x, enc["conv1_2"]["w"], enc["conv1_2"]["b"]))
+        ref = maxpool2(x)
+        # conv0 is folded into conv1_1 in the kernel → association noise
+        # only; conv0's weights are O(255) so scale the tolerance
+        scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+        err = float(jnp.max(jnp.abs(got - ref)))
+        assert err / scale < 1e-5, (err, scale)

@@ -319,7 +319,22 @@ def stylize_fn(
     for _ in range(cfg.passes):
         for li, level in enumerate(cfg.relu_targets):
             if state_kind == "img":
-                feats = vgg.encode(params["encoder"], state_val, level)
+                if junction_ok and level != "relu1_1":
+                    # fused encoder head: conv0∘conv1_1+conv1_2+pool1
+                    from wct_tpu.ops import junction_pallas
+
+                    enc = params["encoder"]
+                    p1 = junction_pallas.encoder_head(
+                        state_val,
+                        enc["conv0"]["w"], enc["conv0"]["b"],
+                        enc["conv1_1"]["w"], enc["conv1_1"]["b"],
+                        enc["conv1_2"]["w"], enc["conv1_2"]["b"],
+                    )
+                    feats = vgg.encode_from_pool1(
+                        params["encoder"], p1, level
+                    )
+                else:
+                    feats = vgg.encode(params["encoder"], state_val, level)
             elif state_kind == "pooled":
                 feats = vgg.encode_from_pool1(
                     params["encoder"], state_val, level

@@ -200,6 +200,92 @@ def fold_conv0(w0, b0, w11, b11):
     return w_f, b_f
 
 
+def _head_kernel(
+    xt_ref, xb_ref, xg_ref, we1_ref, be1_ref, we2_ref, be2_ref,
+    out_ref, *, W, n_tiles,
+):
+    rt = pl.program_id(1)
+    xh = jnp.concatenate([xt_ref[0], xb_ref[0], xg_ref[0]], axis=0)
+    # [20, W*3] flat RGB rows → channel-on-sublane [3, 20, W]
+    rgb = jnp.transpose(xh.reshape(xh.shape[0], W, 3), (2, 0, 1))
+    # rgb rows cover 16rt−2 .. 16rt+17; image-boundary reflect fixes
+    rgb = _fix_rows(
+        rgb, rt, n_tiles,
+        top_fixes=[(0, 4), (1, 3)],
+        bot_fixes=[(18, 16), (19, 15)],
+    )
+    e1 = _cs_conv(_colext(rgb), we1_ref[:], be1_ref[:], relu=True)
+    e1 = _fix_rows(
+        e1, rt, n_tiles, top_fixes=[(0, 2)], bot_fixes=[(17, 15)]
+    )
+    e2 = _cs_conv(_colext(e1), we2_ref[:], be2_ref[:], relu=True)
+    pooled = jnp.maximum(e2[:, 0::2], e2[:, 1::2])
+    pooled = jnp.maximum(pooled[:, :, 0::2], pooled[:, :, 1::2])
+    out_ref[0] = jnp.transpose(pooled, (1, 2, 0)).astype(out_ref.dtype)
+
+
+def encoder_head(
+    img: jax.Array,
+    enc_w0: jax.Array, enc_b0: jax.Array,
+    enc_w11: jax.Array, enc_b11: jax.Array,
+    enc_w12: jax.Array, enc_b12: jax.Array,
+) -> jax.Array:
+    """Fused [conv0∘conv1_1 → relu → conv1_2 → relu → pool1] on RGB.
+
+    ``img [B, H, W, 3]`` → post-pool1 encoder state ``[B, H/2, W/2, 64]``
+    (feed ``vgg.encode_from_pool1`` for deeper targets). The RGB input
+    is consumed through a flat ``[B, H, W·3]`` view — a [.,.,.,3] NHWC
+    array would be lane-padded 3→128 (42× DMA amplification).
+    Requires H % 16 == 0, W % 16 == 0.
+    """
+    B, H, W, c = img.shape
+    assert c == 3 and H % _T == 0 and W % 16 == 0, (img.shape,)
+    n_tiles = H // _T
+    dtype = img.dtype
+    flat = img.reshape(B, H, W * 3)
+
+    ew, eb = fold_conv0(enc_w0, enc_b0, enc_w11, enc_b11)
+    mats = [
+        _tap_mat(ew, dtype), eb.astype(jnp.float32),
+        _tap_mat(enc_w12, dtype), enc_b12.astype(jnp.float32),
+    ]
+
+    def top_map(bi, rt):
+        return (bi, jnp.maximum(8 * rt - 1, 0), 0)
+
+    def bot_map(bi, rt):
+        return (bi, jnp.minimum(8 * rt + 8, H // 2 - 1), 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 2, W * 3), top_map),
+        pl.BlockSpec((1, _T, W * 3), lambda bi, rt: (bi, rt, 0)),
+        pl.BlockSpec((1, 2, W * 3), bot_map),
+    ]
+    for mat in mats:
+        in_specs.append(
+            pl.BlockSpec(mat.shape,
+                         (lambda bi, rt, nd=mat.ndim: (0,) * nd),
+                         memory_space=pltpu.VMEM)
+        )
+    kern = functools.partial(_head_kernel, W=W, n_tiles=n_tiles)
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        kern,
+        grid=(B, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, _T // 2, W // 2, 64), lambda bi, rt: (bi, rt, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H // 2, W // 2, 64), dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * 9 * (3 * 64 + 64 * 64),
+            bytes_accessed=B * H * W * (3 + 16) * 2,
+            transcendentals=0,
+        ),
+    )(flat, flat, flat, *mats)
+
+
 def junction(
     d: jax.Array,
     dec_w1: jax.Array, dec_b1: jax.Array,
