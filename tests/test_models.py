@@ -484,3 +484,22 @@ class TestFusedJunction:
         scale = float(jnp.max(jnp.abs(ref))) + 1e-6
         err = float(jnp.max(jnp.abs(got - ref)))
         assert err / scale < 1e-5, (err, scale)
+
+    def test_decoder_tail_perimage_matches_fold(self, params, rng):
+        """decoder_tail kernel == transform-then-decode at relu1_1."""
+        from wct_tpu.models import decoder as dec_lib
+        from wct_tpu.ops import junction_pallas
+
+        B, H, W, C = 2, 32, 32, 64
+        f = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+        m = jnp.asarray(rng.standard_normal((B, C, C)) * 0.1, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((B, C)) * 0.1, jnp.float32)
+        dp = params["decoders"]["relu1_1"]
+        transformed = jnp.einsum("bhwc,bcd->bhwd", f, m) + bias[:, None, None]
+        ref = dec_lib.decode(dp, transformed, "relu1_1")
+        wf, bf = dec_lib.fold_affine_into_conv(
+            m, bias, dp["dec_conv1_1"]["w"], dp["dec_conv1_1"]["b"]
+        )
+        got = junction_pallas.decoder_tail(f, wf, bf, clip=False)
+        err = float(jnp.max(jnp.abs(got - ref)))
+        assert err < 1e-3, err

@@ -378,6 +378,40 @@ def stylize_fn(
                     out = jnp.clip(out, 0.0, 1.0)
                 state_kind, state_val = "img", out
                 continue
+            if (
+                junction_ok
+                and len(dec_lib.decoder_layers(level)) == 1
+                and not (cfg.swap5 and level == "relu5_1")
+            ):
+                # Single-conv decoder (relu1_1): fold the per-image
+                # WCT/AdaIN affine into the conv and run the Pallas
+                # per-image-weight tail — the apply matmul, its layout
+                # copies, AND the 64→3 conv collapse into one kernel.
+                from wct_tpu.ops import junction_pallas
+
+                if cfg.transform == "adain":
+                    m, bias = jax.vmap(
+                        lambda f: adain_ops.adain_transform(
+                            f, style.adain, alpha
+                        )
+                    )(feats)
+                else:
+                    m, bias = jax.vmap(
+                        lambda f: wct_ops.wct_transform(
+                            f, style.stats, alpha, method=cfg.method,
+                            groups=cfg.wct_groups, soft_trunc=cfg.soft_trunc,
+                        )
+                    )(feats)
+                dec_p = params["decoders"][level]
+                _, name, *_ = dec_lib.decoder_layers(level)[0]
+                wf, bf = dec_lib.fold_affine_into_conv(
+                    m, bias, dec_p[name]["w"], dec_p[name]["b"]
+                )
+                out = junction_pallas.decoder_tail(
+                    feats, wf, bf, clip=cfg.clip_between_levels
+                )
+                state_kind, state_val = "img", out
+                continue
             transformed = jax.vmap(
                 lambda f: _transform_level(f, level, style, alpha, cfg)
             )(feats)

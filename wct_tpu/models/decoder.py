@@ -94,18 +94,33 @@ def decode_folded(
     layers = decoder_layers(target)
     _, name, *_ = layers[0]
     p = params[name]
-    w = p["w"].astype(jnp.float32)
-    if m.ndim == 3:
-        w_fold = jnp.einsum("bij,yxjo->byxio", m, w)
-    else:
-        w_fold = w[None] * m[:, None, None, :, None]
-    b_fold = p["b"].astype(jnp.float32)[None] + jnp.einsum(
-        "bj,yxjo->bo", bias, w
-    )
+    w_fold, b_fold = fold_affine_into_conv(m, bias, p["w"], p["b"])
     x = conv2d_reflect_perimage(f, w_fold, b_fold)
     if len(layers) > 1:  # final conv is linear (reference model.py:~135)
         x = jax.nn.relu(x)
     return _decode(params, x, layers, start=1)
+
+
+def fold_affine_into_conv(
+    m: jax.Array, bias: jax.Array, w: jax.Array, b: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Fold a per-image affine (x ↦ x@M_b + β_b) into a shared conv.
+
+    ``m [B, C, C]`` dense or ``[B, C]`` diagonal, ``bias [B, C]``,
+    ``w [kh, kw, C, Co]``, ``b [Co]`` → per-image
+    ``(w' [B, kh, kw, C, Co], b' [B, Co])`` with
+    conv'(x) = conv(x @ M + β) (reflect pad commutes with the
+    per-pixel affine).
+    """
+    w32 = w.astype(jnp.float32)
+    if m.ndim == 3:
+        w_fold = jnp.einsum("bij,yxjo->byxio", m, w32)
+    else:
+        w_fold = w32[None] * m[:, None, None, :, None]
+    b_fold = b.astype(jnp.float32)[None] + jnp.einsum(
+        "bj,yxjo->bo", bias, w32
+    )
+    return w_fold, b_fold
 
 
 def has_standard_tail(target: str) -> bool:

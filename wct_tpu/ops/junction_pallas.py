@@ -286,6 +286,76 @@ def encoder_head(
     )(flat, flat, flat, *mats)
 
 
+def _tail_kernel(xt_ref, xb_ref, xg_ref, w_ref, b_ref, out_ref, *, W,
+                 clip):
+    xh = jnp.concatenate([xt_ref[0], xb_ref[0], xg_ref[0]], axis=0)
+    x = jnp.transpose(xh, (2, 0, 1))  # [64, 18, W]
+    y = _cs_conv(_colext(x), w_ref[0], b_ref[0], relu=False)  # [3, 16, W]
+    if clip:
+        y = jnp.clip(y, 0.0, 1.0)
+    out = jnp.transpose(y, (1, 2, 0)).reshape(_T, W * 3)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def decoder_tail(
+    f: jax.Array, w: jax.Array, b: jax.Array, clip: bool = False
+) -> jax.Array:
+    """Final 64→3 decoder conv with PER-IMAGE weights, RGB out.
+
+    ``f [B, H, W, 64]`` relu1_1-level features, ``w [B, 3, 3, 64, 3]``,
+    ``b [B, 3]`` → RGB ``[B, H, W, 3]``. Per-image weights exist so the
+    cascade can fold each image's WCT/AdaIN affine INTO this conv
+    (models/cascade.py) — the route XLA's ``batch_group_count`` conv
+    makes ~4.4× slower than a shared conv (DESIGN.md §3), but which is
+    native to Pallas: the weight BlockSpec simply indexes by the batch
+    grid coordinate. Ghost-row index maps encode the reflect rule, so
+    this single conv needs no boundary fix-ups. RGB is written through
+    a flat ``[B, H, W·3]`` buffer (lane-padding dodge) and reshaped.
+    Requires H % 16 == 0, W % 16 == 0, C = 64.
+    """
+    B, H, W, c = f.shape
+    assert c == 64 and H % _T == 0 and W % 16 == 0, (f.shape,)
+    dtype = f.dtype
+    # [B,3,3,64,3] → per-image tap-major [B, 3, 576]
+    wmat = jnp.transpose(w, (0, 4, 1, 2, 3)).reshape(B, 3, 9 * 64)
+    wmat = wmat.astype(dtype)
+    b32 = b.astype(jnp.float32)
+
+    def top_map(bi, rt):
+        return (bi, jnp.abs(rt * _T - 1), 0, 0)
+
+    def bot_map(bi, rt):
+        g = rt * _T + _T
+        return (bi, jnp.minimum(g, 2 * (H - 1) - g), 0, 0)
+
+    kern = functools.partial(_tail_kernel, W=W, clip=clip)
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        kern,
+        grid=(B, H // _T),
+        in_specs=[
+            pl.BlockSpec((1, 1, W, 64), top_map),
+            pl.BlockSpec((1, _T, W, 64), lambda bi, rt: (bi, rt, 0, 0)),
+            pl.BlockSpec((1, 1, W, 64), bot_map),
+            pl.BlockSpec((1, 3, 9 * 64), lambda bi, rt: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), lambda bi, rt: (bi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _T, W * 3), lambda bi, rt: (bi, rt, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, W * 3), dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * 9 * 64 * 3,
+            bytes_accessed=B * H * W * (64 + 3) * 2,
+            transcendentals=0,
+        ),
+    )(f, f, f, wmat, b32)
+    return out.reshape(B, H, W, 3)
+
+
 def junction(
     d: jax.Array,
     dec_w1: jax.Array, dec_b1: jax.Array,
