@@ -95,25 +95,79 @@ def _colext(x):
     return jnp.concatenate([x[:, :, 1:2], x, x[:, :, W - 2 : W - 1]], axis=2)
 
 
+def _pool2_cs(x, sel_even, sel_odd):
+    """2×2 max pool in channel-on-sublane form WITHOUT strided slices
+    (Mosaic lowers them to an unsupported gather): row pairs via
+    explicit slices, lane pairs via even/odd selection matmuls
+    (``sel_even/sel_odd [W, W/2]``, one-hot columns)."""
+    C, R, W = x.shape
+    rows = [
+        jnp.maximum(x[:, 2 * i : 2 * i + 1], x[:, 2 * i + 1 : 2 * i + 2])
+        for i in range(R // 2)
+    ]
+    xr = jnp.concatenate(rows, axis=1)  # [C, R/2, W]
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    even = dot(xr, sel_even).astype(x.dtype)
+    odd = dot(xr, sel_odd).astype(x.dtype)
+    return jnp.maximum(even, odd)  # [C, R/2, W/2]
+
+
+def _sel_mats(W, dtype):
+    """Even/odd lane-selection matrices [W, W/2] for _pool2_cs."""
+    eye = jnp.eye(W // 2, dtype=jnp.float32)
+    zero = jnp.zeros_like(eye)
+    even = jnp.stack([eye, zero], axis=1).reshape(W, W // 2)
+    odd = jnp.stack([zero, eye], axis=1).reshape(W, W // 2)
+    return even.astype(dtype), odd.astype(dtype)
+
+
+def _t_cs(x):
+    """[R, W, C] → [C, R, W] via an identity matmul (Mosaic rejects
+    in-kernel 3-D ``jnp.transpose`` / shape casts; an MXU contraction
+    against I_C moves values exactly — 1·x sums of one term)."""
+    c = x.shape[2]
+    eye = jnp.eye(c, dtype=x.dtype)
+    return jax.lax.dot_general(
+        eye, x,
+        dimension_numbers=(((1,), (2,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def _t_sc(x):
+    """[C, R, W] → [R, W, C] via an identity matmul (see _t_cs)."""
+    c = x.shape[0]
+    eye = jnp.eye(c, dtype=x.dtype)
+    return jax.lax.dot_general(
+        x, eye,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
 def _fix_rows(x, rt, n_tiles, top_fixes, bot_fixes):
     """Overwrite boundary-tile halo rows with per-level reflect rows.
 
     ``top_fixes`` = [(dst_row, src_row), ...] applied when rt == 0;
     ``bot_fixes`` likewise when rt == n_tiles − 1. Row indices are into
-    dim 1 of ``x [C, R, W]``.
-    """
+    dim 1 of ``x [C, R, W]``. Uses width-1 slices (no squeeze — Mosaic
+    rejects rank-changing shape casts)."""
     is_top = rt == 0
     is_bot = rt == n_tiles - 1
-    rows = [x[:, i] for i in range(x.shape[1])]
+    rows = [x[:, i : i + 1] for i in range(x.shape[1])]
     for dst, src in top_fixes:
         rows[dst] = jnp.where(is_top, rows[src], rows[dst])
     for dst, src in bot_fixes:
         rows[dst] = jnp.where(is_bot, rows[src], rows[dst])
-    return jnp.stack(rows, axis=1)
+    return jnp.concatenate(rows, axis=1)
 
 
 def _junction_kernel(
-    dt_ref, db_ref, dg_ref,
+    dt_ref, db_ref, dg_ref, eye2_ref, sel_e_ref, sel_o_ref,
     wd1_ref, bd1_ref, wd2_ref, bd2_ref,
     we1_ref, be1_ref, we2_ref, be2_ref,
     out_ref, *, W, n_tiles, deep, clip,
@@ -122,8 +176,20 @@ def _junction_kernel(
 
     # ---- gather d rows 8·rt−2 .. 8·rt+9 (clamped) and upsample ----
     d_h = jnp.concatenate([dt_ref[0], db_ref[0], dg_ref[0]], axis=0)
-    d = jnp.transpose(d_h, (2, 0, 1))  # [64, 12, 256]
-    u = jnp.repeat(jnp.repeat(d, 2, axis=1), 2, axis=2)  # [64, 24, W]
+    d = _t_cs(d_h)  # [64, 12, 256]
+    # 2× nearest upsample WITHOUT jnp.repeat (Mosaic lowers repeat to
+    # an unsupported >2D gather): rows by slice-interleave concat,
+    # columns by a matmul with the [wd, 2wd] interleave matrix
+    # (E[j, 2j] = E[j, 2j+1] = 1) — exact value duplication.
+    rows = []
+    for i in range(d.shape[1]):
+        rows += [d[:, i : i + 1], d[:, i : i + 1]]
+    d2 = jnp.concatenate(rows, axis=1)  # [64, 24, wd]
+    u = jax.lax.dot_general(
+        d2, eye2_ref[:],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(d.dtype)  # [64, 24, W]
     # u rows cover 16rt−4 .. 16rt+19. Boundary reflect (512-res):
     #   top: global −4..−1 → u[4..1] → local 8,7,6,5
     #   bottom: global W512..W512+3 → reflect → local 18,17,16,15
@@ -158,9 +224,7 @@ def _junction_kernel(
 
     if not deep:
         # output = relu1_1 features, rows 16rt..16rt+15
-        out_ref[0] = jnp.transpose(e1[:, 1:17], (1, 2, 0)).astype(
-            out_ref.dtype
-        )
+        out_ref[0] = _t_sc(e1[:, 1:17]).astype(out_ref.dtype)
         return
 
     e1 = _fix_rows(
@@ -173,10 +237,9 @@ def _junction_kernel(
     e2 = _cs_conv(_colext(e1), we2_ref[:], be2_ref[:], relu=True)  # [64,16,W]
 
     # ---- 2×2 max pool → [64, 8, W/2] ----
-    pooled = jnp.maximum(e2[:, 0::2], e2[:, 1::2])
-    pooled = jnp.maximum(pooled[:, :, 0::2], pooled[:, :, 1::2])
+    pooled = _pool2_cs(e2, sel_e_ref[:], sel_o_ref[:])
 
-    out_ref[0] = jnp.transpose(pooled, (1, 2, 0)).astype(out_ref.dtype)
+    out_ref[0] = _t_sc(pooled).astype(out_ref.dtype)
 
 
 def _tap_mat(w, dtype):
@@ -201,13 +264,18 @@ def fold_conv0(w0, b0, w11, b11):
 
 
 def _head_kernel(
-    xt_ref, xb_ref, xg_ref, we1_ref, be1_ref, we2_ref, be2_ref,
+    xt_ref, xb_ref, xg_ref, sel_e_ref, sel_o_ref,
+    we1_ref, be1_ref, we2_ref, be2_ref,
     out_ref, *, W, n_tiles,
 ):
     rt = pl.program_id(1)
-    xh = jnp.concatenate([xt_ref[0], xb_ref[0], xg_ref[0]], axis=0)
-    # [20, W*3] flat RGB rows → channel-on-sublane [3, 20, W]
-    rgb = jnp.transpose(xh.reshape(xh.shape[0], W, 3), (2, 0, 1))
+    # Planar [B, 3, H, W] input: blocks arrive channel-on-sublane with
+    # no reshape (Mosaic cannot compile lane-split shape casts). Ghost
+    # blocks are 8 rows (rows are second-to-minor → 8-aligned); only
+    # the 2 rows adjacent to the body are used.
+    rgb = jnp.concatenate(
+        [xt_ref[0, :, 6:8], xb_ref[0], xg_ref[0, :, 0:2]], axis=1
+    )
     # rgb rows cover 16rt−2 .. 16rt+17; image-boundary reflect fixes
     rgb = _fix_rows(
         rgb, rt, n_tiles,
@@ -219,9 +287,8 @@ def _head_kernel(
         e1, rt, n_tiles, top_fixes=[(0, 2)], bot_fixes=[(17, 15)]
     )
     e2 = _cs_conv(_colext(e1), we2_ref[:], be2_ref[:], relu=True)
-    pooled = jnp.maximum(e2[:, 0::2], e2[:, 1::2])
-    pooled = jnp.maximum(pooled[:, :, 0::2], pooled[:, :, 1::2])
-    out_ref[0] = jnp.transpose(pooled, (1, 2, 0)).astype(out_ref.dtype)
+    pooled = _pool2_cs(e2, sel_e_ref[:], sel_o_ref[:])
+    out_ref[0] = _t_sc(pooled).astype(out_ref.dtype)
 
 
 def encoder_head(
@@ -234,32 +301,35 @@ def encoder_head(
 
     ``img [B, H, W, 3]`` → post-pool1 encoder state ``[B, H/2, W/2, 64]``
     (feed ``vgg.encode_from_pool1`` for deeper targets). The RGB input
-    is consumed through a flat ``[B, H, W·3]`` view — a [.,.,.,3] NHWC
-    array would be lane-padded 3→128 (42× DMA amplification).
-    Requires H % 16 == 0, W % 16 == 0.
+    is consumed through a PLANAR ``[B, 3, H, W]`` transpose (tiny, 2
+    bytes/px) — a [.,.,.,3] NHWC block would be lane-padded 3→128
+    (42× DMA amplification), and in-kernel lane-split reshapes do not
+    compile. Requires H % 16 == 0, W % 16 == 0.
     """
     B, H, W, c = img.shape
     assert c == 3 and H % _T == 0 and W % 16 == 0, (img.shape,)
     n_tiles = H // _T
     dtype = img.dtype
-    flat = img.reshape(B, H, W * 3)
+    planar = jnp.transpose(img, (0, 3, 1, 2))
 
     ew, eb = fold_conv0(enc_w0, enc_b0, enc_w11, enc_b11)
+    sel_e, sel_o = _sel_mats(W, dtype)
     mats = [
+        sel_e, sel_o,
         _tap_mat(ew, dtype), eb.astype(jnp.float32),
         _tap_mat(enc_w12, dtype), enc_b12.astype(jnp.float32),
     ]
 
     def top_map(bi, rt):
-        return (bi, jnp.maximum(8 * rt - 1, 0), 0)
+        return (bi, 0, jnp.maximum(2 * rt - 1, 0), 0)
 
     def bot_map(bi, rt):
-        return (bi, jnp.minimum(8 * rt + 8, H // 2 - 1), 0)
+        return (bi, 0, jnp.minimum(2 * rt + 2, H // 8 - 1), 0)
 
     in_specs = [
-        pl.BlockSpec((1, 2, W * 3), top_map),
-        pl.BlockSpec((1, _T, W * 3), lambda bi, rt: (bi, rt, 0)),
-        pl.BlockSpec((1, 2, W * 3), bot_map),
+        pl.BlockSpec((1, 3, 8, W), top_map),
+        pl.BlockSpec((1, 3, _T, W), lambda bi, rt: (bi, 0, rt, 0)),
+        pl.BlockSpec((1, 3, 8, W), bot_map),
     ]
     for mat in mats:
         in_specs.append(
@@ -283,18 +353,17 @@ def encoder_head(
             bytes_accessed=B * H * W * (3 + 16) * 2,
             transcendentals=0,
         ),
-    )(flat, flat, flat, *mats)
+    )(planar, planar, planar, *mats)
 
 
 def _tail_kernel(xt_ref, xb_ref, xg_ref, w_ref, b_ref, out_ref, *, W,
                  clip):
     xh = jnp.concatenate([xt_ref[0], xb_ref[0], xg_ref[0]], axis=0)
-    x = jnp.transpose(xh, (2, 0, 1))  # [64, 18, W]
-    y = _cs_conv(_colext(x), w_ref[0], b_ref[0], relu=False)  # [3, 16, W]
+    x = _t_cs(xh)  # [64, 18, W]
+    y = _cs_conv(_colext(x), w_ref[0], b_ref[0, 0], relu=False)  # [3,16,W]
     if clip:
         y = jnp.clip(y, 0.0, 1.0)
-    out = jnp.transpose(y, (1, 2, 0)).reshape(_T, W * 3)
-    out_ref[0] = out.astype(out_ref.dtype)
+    out_ref[0] = y.astype(out_ref.dtype)  # planar [3, 16, W]
 
 
 def decoder_tail(
@@ -309,8 +378,9 @@ def decoder_tail(
     makes ~4.4× slower than a shared conv (DESIGN.md §3), but which is
     native to Pallas: the weight BlockSpec simply indexes by the batch
     grid coordinate. Ghost-row index maps encode the reflect rule, so
-    this single conv needs no boundary fix-ups. RGB is written through
-    a flat ``[B, H, W·3]`` buffer (lane-padding dodge) and reshaped.
+    this single conv needs no boundary fix-ups. RGB is written PLANAR
+    ``[B, 3, H, W]`` (lane-padding dodge; in-kernel lane-merge
+    reshapes do not compile) and transposed back outside (tiny).
     Requires H % 16 == 0, W % 16 == 0, C = 64.
     """
     B, H, W, c = f.shape
@@ -319,7 +389,9 @@ def decoder_tail(
     # [B,3,3,64,3] → per-image tap-major [B, 3, 576]
     wmat = jnp.transpose(w, (0, 4, 1, 2, 3)).reshape(B, 3, 9 * 64)
     wmat = wmat.astype(dtype)
-    b32 = b.astype(jnp.float32)
+    # [B, 1, 3] so the block's second-to-minor dim equals the array's
+    # (Mosaic's block-shape rule)
+    b32 = b.astype(jnp.float32)[:, None, :]
 
     def top_map(bi, rt):
         return (bi, jnp.abs(rt * _T - 1), 0, 0)
@@ -339,13 +411,13 @@ def decoder_tail(
             pl.BlockSpec((1, 1, W, 64), bot_map),
             pl.BlockSpec((1, 3, 9 * 64), lambda bi, rt: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3), lambda bi, rt: (bi, 0),
+            pl.BlockSpec((1, 1, 3), lambda bi, rt: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, _T, W * 3), lambda bi, rt: (bi, rt, 0)
+            (1, 3, _T, W), lambda bi, rt: (bi, 0, rt, 0)
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, W * 3), dtype),
+        out_shape=jax.ShapeDtypeStruct((B, 3, H, W), dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * 9 * 64 * 3,
@@ -353,7 +425,7 @@ def decoder_tail(
             transcendentals=0,
         ),
     )(f, f, f, wmat, b32)
-    return out.reshape(B, H, W, 3)
+    return jnp.transpose(out, (0, 2, 3, 1))
 
 
 def junction(
@@ -385,7 +457,13 @@ def junction(
     dtype = d.dtype
 
     ew, eb = fold_conv0(enc_w0, enc_b0, enc_w11, enc_b11)
+    # column-interleave matrix for the in-kernel 2× upsample
+    eye2 = (
+        jnp.repeat(jnp.eye(wd, dtype=jnp.float32), 2, axis=1)
+    ).astype(dtype)
+    sel_e, sel_o = _sel_mats(W, dtype)
     mats = [
+        eye2, sel_e, sel_o,
         _tap_mat(dec_w1, dtype), dec_b1.astype(jnp.float32),
         _tap_mat(dec_w2, dtype), dec_b2.astype(jnp.float32),
         _tap_mat(ew, dtype), eb.astype(jnp.float32),
