@@ -94,6 +94,13 @@ def _sharded_stylize_fn(
         if spatial
         else batch_sharding(mesh, axis_name)
     )
+    if cfg.fuse_junction:
+        # GSPMD cannot partition a pallas_call; the fused-junction
+        # kernels are a single-device optimization. Sharded paths run
+        # the pure-XLA cascade (same math).
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, fuse_junction=False)
     return jax.jit(
         partial(cascade_lib.stylize_fn, cfg=cfg),
         in_shardings=(rep, data, rep, rep),
