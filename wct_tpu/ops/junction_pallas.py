@@ -62,7 +62,9 @@ def _cs_conv(xp, wmat, bias, relu):
     """Channel-on-sublane 3×3 VALID conv.
 
     ``xp [Ci, R, W+2]`` (column-extended input), ``wmat [Co, 9·Ci]``
-    (tap-major: (dy, dx, ci)), → ``[Co, R−2, W]`` bf16.
+    (tap-major: (dy, dx, ci)), ``bias [Co, 1, 1]`` (pre-shaped — a
+    rank-changing ``bias[:, None, None]`` is a Mosaic-unsupported
+    shape cast), → ``[Co, R−2, W]``.
     """
     ci, R, Wp = xp.shape
     W = Wp - 2
@@ -81,7 +83,7 @@ def _cs_conv(xp, wmat, bias, relu):
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [Co, sr, W] f32
-        y = y + bias[:, None, None]
+        y = y + bias
         if relu:
             y = jnp.maximum(y, 0.0)
         outs.append(y.astype(xp.dtype))
@@ -316,8 +318,9 @@ def encoder_head(
     sel_e, sel_o = _sel_mats(W, dtype)
     mats = [
         sel_e, sel_o,
-        _tap_mat(ew, dtype), eb.astype(jnp.float32),
-        _tap_mat(enc_w12, dtype), enc_b12.astype(jnp.float32),
+        _tap_mat(ew, dtype), eb.astype(jnp.float32).reshape(-1, 1, 1),
+        _tap_mat(enc_w12, dtype),
+        enc_b12.astype(jnp.float32).reshape(-1, 1, 1),
     ]
 
     def top_map(bi, rt):
@@ -360,7 +363,7 @@ def _tail_kernel(xt_ref, xb_ref, xg_ref, w_ref, b_ref, out_ref, *, W,
                  clip):
     xh = jnp.concatenate([xt_ref[0], xb_ref[0], xg_ref[0]], axis=0)
     x = _t_cs(xh)  # [64, 18, W]
-    y = _cs_conv(_colext(x), w_ref[0], b_ref[0, 0], relu=False)  # [3,16,W]
+    y = _cs_conv(_colext(x), w_ref[0], b_ref[0], relu=False)  # [3,16,W]
     if clip:
         y = jnp.clip(y, 0.0, 1.0)
     out_ref[0] = y.astype(out_ref.dtype)  # planar [3, 16, W]
@@ -389,9 +392,9 @@ def decoder_tail(
     # [B,3,3,64,3] → per-image tap-major [B, 3, 576]
     wmat = jnp.transpose(w, (0, 4, 1, 2, 3)).reshape(B, 3, 9 * 64)
     wmat = wmat.astype(dtype)
-    # [B, 1, 3] so the block's second-to-minor dim equals the array's
-    # (Mosaic's block-shape rule)
-    b32 = b.astype(jnp.float32)[:, None, :]
+    # [B, 3, 1, 1]: pre-shaped for the in-kernel broadcast add AND so
+    # every block dim equals the array dim (Mosaic's block-shape rule)
+    b32 = b.astype(jnp.float32)[:, :, None, None]
 
     def top_map(bi, rt):
         return (bi, jnp.abs(rt * _T - 1), 0, 0)
@@ -411,7 +414,7 @@ def decoder_tail(
             pl.BlockSpec((1, 1, W, 64), bot_map),
             pl.BlockSpec((1, 3, 9 * 64), lambda bi, rt: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 3), lambda bi, rt: (bi, 0, 0),
+            pl.BlockSpec((1, 3, 1, 1), lambda bi, rt: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -462,18 +465,22 @@ def junction(
         jnp.repeat(jnp.eye(wd, dtype=jnp.float32), 2, axis=1)
     ).astype(dtype)
     sel_e, sel_o = _sel_mats(W, dtype)
+
+    def b3(v):
+        return v.astype(jnp.float32).reshape(-1, 1, 1)
+
     mats = [
         eye2, sel_e, sel_o,
-        _tap_mat(dec_w1, dtype), dec_b1.astype(jnp.float32),
-        _tap_mat(dec_w2, dtype), dec_b2.astype(jnp.float32),
-        _tap_mat(ew, dtype), eb.astype(jnp.float32),
+        _tap_mat(dec_w1, dtype), b3(dec_b1),
+        _tap_mat(dec_w2, dtype), b3(dec_b2),
+        _tap_mat(ew, dtype), b3(eb),
     ]
     if deep:
         assert enc_w12 is not None and enc_b12 is not None
-        mats += [_tap_mat(enc_w12, dtype), enc_b12.astype(jnp.float32)]
+        mats += [_tap_mat(enc_w12, dtype), b3(enc_b12)]
     else:
         # placeholders keep the kernel signature static
-        mats += [jnp.zeros((64, 576), dtype), jnp.zeros((64,), jnp.float32)]
+        mats += [jnp.zeros((64, 576), dtype), jnp.zeros((64, 1, 1), jnp.float32)]
 
     # d row-tiles: body 8 rows (256-res) + 2-row ghost blocks above and
     # below (clamped at the image edges; boundary values are then
