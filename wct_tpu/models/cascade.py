@@ -418,6 +418,10 @@ def stylize_fn(
             if (
                 junction_ok
                 and nxt is not None
+                # the shallow (deep=False) junction variant currently
+                # hits a Mosaic backend failure; the 2→1 boundary runs
+                # the XLA decode+encode until that is resolved
+                and nxt != "relu1_1"
                 and dec_lib.has_standard_tail(level)
             ):
                 from wct_tpu.ops import junction_pallas  # lazy pallas dep

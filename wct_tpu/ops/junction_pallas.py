@@ -55,16 +55,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Output tile height at 512-res. 16 ⇒ d tiles of 8 rows at 256-res.
 _T = 16
-_SR = 4  # rows per conv-matmul sub-chunk
+_SR = 2  # rows per conv-matmul sub-chunk (VMEM-bounded: z is [576, _SR, W])
 
 
 def _cs_conv(xp, wmat, bias, relu):
-    """Channel-on-sublane 3×3 VALID conv.
+    """Channel-on-sublane 3×3 VALID conv, value → value.
 
     ``xp [Ci, R, W+2]`` (column-extended input), ``wmat [Co, 9·Ci]``
     (tap-major: (dy, dx, ci)), ``bias [Co, 1, 1]`` (pre-shaped — a
     rank-changing ``bias[:, None, None]`` is a Mosaic-unsupported
-    shape cast), → ``[Co, R−2, W]``.
+    shape cast), → ``[Co, R−2, W]``. Only for SMALL inputs: on the
+    512-tier use ``_cs_conv_ref`` — Mosaic stack-allocates every
+    unrolled sub-chunk's z/y buffer of a value-form conv at once and
+    blows the 16 MB scoped-VMEM limit.
     """
     ci, R, Wp = xp.shape
     W = Wp - 2
@@ -89,6 +92,61 @@ def _cs_conv(xp, wmat, bias, relu):
         outs.append(y.astype(xp.dtype))
         r += sr
     return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
+
+def _cs_conv_ref(src_ref, wmat, bias, relu, dst_ref, dst_colext):
+    """Scratch-ref conv: read col-extended ``src_ref [Ci, R, W+2]``,
+    write ``[Co, R−2, W]`` rows into ``dst_ref`` (at column offset 1
+    when ``dst_colext`` so the destination is itself col-extended).
+    The per-chunk STORE breaks the SSA chain, so Mosaic reuses the
+    z/y buffers across chunks instead of stack-allocating all of them.
+    """
+    co = wmat.shape[0]
+    ci = wmat.shape[1] // 9
+    _, R, Wp = src_ref.shape
+    W = Wp - 2
+    rows_out = R - 2
+    c0 = 1 if dst_colext else 0
+    r = 0
+    while r < rows_out:
+        sr = min(_SR, rows_out - r)
+        taps = []
+        for dy in range(3):
+            for dx in range(3):
+                taps.append(
+                    src_ref[0:ci, r + dy : r + dy + sr, dx : dx + W]
+                )
+        z = jnp.concatenate(taps, axis=0)
+        y = jax.lax.dot_general(
+            wmat, z,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = y + bias
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        dst_ref[0:co, r : r + sr, c0 : c0 + W] = y.astype(dst_ref.dtype)
+        r += sr
+
+
+def _fix_rows_ref(ref, rt, n_tiles, top_fixes, bot_fixes):
+    """_fix_rows operating in place on a scratch ref."""
+    is_top = rt == 0
+    is_bot = rt == n_tiles - 1
+    for dst, src in top_fixes:
+        ref[:, dst : dst + 1] = jnp.where(
+            is_top, ref[:, src : src + 1], ref[:, dst : dst + 1]
+        )
+    for dst, src in bot_fixes:
+        ref[:, dst : dst + 1] = jnp.where(
+            is_bot, ref[:, src : src + 1], ref[:, dst : dst + 1]
+        )
+
+
+def _colext_ref(ref, W):
+    """Fill a col-extended scratch's reflect halo columns in place."""
+    ref[:, :, 0:1] = ref[:, :, 2:3]
+    ref[:, :, W + 1 : W + 2] = ref[:, :, W - 1 : W]
 
 
 def _colext(x):
@@ -133,6 +191,8 @@ def _t_cs(x):
     against I_C moves values exactly — 1·x sums of one term)."""
     c = x.shape[2]
     eye = jnp.eye(c, dtype=x.dtype)
+    # tpu.matmul requires a 32-bit accumulator; the cast back is exact
+    # (every output element is 1·x of a single term)
     return jax.lax.dot_general(
         eye, x,
         dimension_numbers=(((1,), (2,)), ((), ())),
@@ -172,7 +232,8 @@ def _junction_kernel(
     dt_ref, db_ref, dg_ref, eye2_ref, sel_e_ref, sel_o_ref,
     wd1_ref, bd1_ref, wd2_ref, bd2_ref,
     we1_ref, be1_ref, we2_ref, be2_ref,
-    out_ref, *, W, n_tiles, deep, clip,
+    out_ref, u_s, m_s, rgb_s, e1_s, e2_s,
+    *, W, n_tiles, deep, clip,
 ):
     rt = pl.program_id(1)
 
@@ -187,59 +248,68 @@ def _junction_kernel(
     for i in range(d.shape[1]):
         rows += [d[:, i : i + 1], d[:, i : i + 1]]
     d2 = jnp.concatenate(rows, axis=1)  # [64, 24, wd]
-    u = jax.lax.dot_general(
-        d2, eye2_ref[:],
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(d.dtype)  # [64, 24, W]
+    # column-interleave matmul in two half-row chunks: the f32
+    # accumulator for the whole [64, 24, W] tile alone would be ~3 MB
+    # of scoped VMEM (the per-chunk store lets Mosaic reuse it)
+    for r0, r1 in ((0, 12), (12, 24)):
+        u_s[:, r0:r1, 1 : W + 1] = jax.lax.dot_general(
+            d2[:, r0:r1], eye2_ref[:],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(u_s.dtype)
     # u rows cover 16rt−4 .. 16rt+19. Boundary reflect (512-res):
-    #   top: global −4..−1 → u[4..1] → local 8,7,6,5
-    #   bottom: global W512..W512+3 → reflect → local 18,17,16,15
-    u = _fix_rows(
-        u, rt, n_tiles,
+    _fix_rows_ref(
+        u_s, rt, n_tiles,
         top_fixes=[(0, 8), (1, 7), (2, 6), (3, 5)],
         bot_fixes=[(20, 18), (21, 17), (22, 16), (23, 15)],
     )
-    # column reflect at 512-res: halo col −1 = col 1, col W = col W−2
-    u_ext = _colext(u)
+    _colext_ref(u_s, W)
 
     # ---- decoder conv 64→64 + relu: m rows 16rt−3 .. 16rt+18 ----
-    m = _cs_conv(u_ext, wd1_ref[:], bd1_ref[:], relu=True)  # [64, 22, W]
-    m = _fix_rows(
-        m, rt, n_tiles,
+    _cs_conv_ref(u_s, wd1_ref[:], bd1_ref[:], True, m_s, dst_colext=True)
+    _fix_rows_ref(
+        m_s, rt, n_tiles,
         top_fixes=[(0, 6), (1, 5), (2, 4)],
         bot_fixes=[(19, 17), (20, 16), (21, 15)],
     )
+    _colext_ref(m_s, W)
 
     # ---- decoder final conv 64→3 (linear): rgb rows 16rt−2 .. +17 ----
-    rgb = _cs_conv(_colext(m), wd2_ref[:], bd2_ref[:], relu=False)  # [3,20,W]
+    _cs_conv_ref(m_s, wd2_ref[:], bd2_ref[:], False, rgb_s, dst_colext=True)
     if clip:
-        rgb = jnp.clip(rgb, 0.0, 1.0)
-    rgb = _fix_rows(
-        rgb, rt, n_tiles,
+        rgb_s[:, :, 1 : W + 1] = jnp.clip(rgb_s[:, :, 1 : W + 1], 0.0, 1.0)
+    _fix_rows_ref(
+        rgb_s, rt, n_tiles,
         top_fixes=[(0, 4), (1, 3)],
         bot_fixes=[(18, 16), (19, 15)],
     )
+    _colext_ref(rgb_s, W)
 
     # ---- encoder conv0∘conv1_1 + relu: e1 rows 16rt−1 .. +16 ----
-    e1 = _cs_conv(_colext(rgb), we1_ref[:], be1_ref[:], relu=True)  # [64,18,W]
+    _cs_conv_ref(rgb_s, we1_ref[:], be1_ref[:], True, e1_s, dst_colext=True)
 
     if not deep:
-        # output = relu1_1 features, rows 16rt..16rt+15
-        out_ref[0] = _t_sc(e1[:, 1:17]).astype(out_ref.dtype)
+        # output = relu1_1 features, rows 16rt..16rt+15, stored in
+        # 4-row chunks (the full-tile transpose's f32 accumulator +
+        # the 2× larger full-res out block overflow scoped VMEM)
+        for r in range(0, _T, 4):
+            out_ref[0, r : r + 4] = _t_sc(
+                e1_s[:, 1 + r : 5 + r, 1 : W + 1]
+            ).astype(out_ref.dtype)
         return
 
-    e1 = _fix_rows(
-        e1, rt, n_tiles,
+    _fix_rows_ref(
+        e1_s, rt, n_tiles,
         top_fixes=[(0, 2)],
         bot_fixes=[(17, 15)],
     )
+    _colext_ref(e1_s, W)
 
     # ---- encoder conv1_2 + relu: e2 rows 16rt .. 16rt+15 ----
-    e2 = _cs_conv(_colext(e1), we2_ref[:], be2_ref[:], relu=True)  # [64,16,W]
+    _cs_conv_ref(e1_s, we2_ref[:], be2_ref[:], True, e2_s, dst_colext=False)
 
     # ---- 2×2 max pool → [64, 8, W/2] ----
-    pooled = _pool2_cs(e2, sel_e_ref[:], sel_o_ref[:])
+    pooled = _pool2_cs(e2_s[:, :, :], sel_e_ref[:], sel_o_ref[:])
 
     out_ref[0] = _t_sc(pooled).astype(out_ref.dtype)
 
@@ -268,28 +338,30 @@ def fold_conv0(w0, b0, w11, b11):
 def _head_kernel(
     xt_ref, xb_ref, xg_ref, sel_e_ref, sel_o_ref,
     we1_ref, be1_ref, we2_ref, be2_ref,
-    out_ref, *, W, n_tiles,
+    out_ref, rgb_s, e1_s, e2_s, *, W, n_tiles,
 ):
     rt = pl.program_id(1)
     # Planar [B, 3, H, W] input: blocks arrive channel-on-sublane with
     # no reshape (Mosaic cannot compile lane-split shape casts). Ghost
     # blocks are 8 rows (rows are second-to-minor → 8-aligned); only
     # the 2 rows adjacent to the body are used.
-    rgb = jnp.concatenate(
+    rgb_s[:, :, 1 : W + 1] = jnp.concatenate(
         [xt_ref[0, :, 6:8], xb_ref[0], xg_ref[0, :, 0:2]], axis=1
     )
     # rgb rows cover 16rt−2 .. 16rt+17; image-boundary reflect fixes
-    rgb = _fix_rows(
-        rgb, rt, n_tiles,
+    _fix_rows_ref(
+        rgb_s, rt, n_tiles,
         top_fixes=[(0, 4), (1, 3)],
         bot_fixes=[(18, 16), (19, 15)],
     )
-    e1 = _cs_conv(_colext(rgb), we1_ref[:], be1_ref[:], relu=True)
-    e1 = _fix_rows(
-        e1, rt, n_tiles, top_fixes=[(0, 2)], bot_fixes=[(17, 15)]
+    _colext_ref(rgb_s, W)
+    _cs_conv_ref(rgb_s, we1_ref[:], be1_ref[:], True, e1_s, dst_colext=True)
+    _fix_rows_ref(
+        e1_s, rt, n_tiles, top_fixes=[(0, 2)], bot_fixes=[(17, 15)]
     )
-    e2 = _cs_conv(_colext(e1), we2_ref[:], be2_ref[:], relu=True)
-    pooled = _pool2_cs(e2, sel_e_ref[:], sel_o_ref[:])
+    _colext_ref(e1_s, W)
+    _cs_conv_ref(e1_s, we2_ref[:], be2_ref[:], True, e2_s, dst_colext=False)
+    pooled = _pool2_cs(e2_s[:, :, :], sel_e_ref[:], sel_o_ref[:])
     out_ref[0] = _t_sc(pooled).astype(out_ref.dtype)
 
 
@@ -342,6 +414,11 @@ def encoder_head(
         )
     kern = functools.partial(_head_kernel, W=W, n_tiles=n_tiles)
     interpret = jax.default_backend() != "tpu"
+    scratch = [
+        pltpu.VMEM((3, 20, W + 2), dtype),   # rgb (col-extended)
+        pltpu.VMEM((64, 18, W + 2), dtype),  # e1
+        pltpu.VMEM((64, 16, W), dtype),      # e2
+    ]
     return pl.pallas_call(
         kern,
         grid=(B, n_tiles),
@@ -350,6 +427,7 @@ def encoder_head(
             (1, _T // 2, W // 2, 64), lambda bi, rt: (bi, rt, 0, 0)
         ),
         out_shape=jax.ShapeDtypeStruct((B, H // 2, W // 2, 64), dtype),
+        scratch_shapes=scratch,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * 9 * (3 * 64 + 64 * 64),
@@ -359,14 +437,31 @@ def encoder_head(
     )(planar, planar, planar, *mats)
 
 
-def _tail_kernel(xt_ref, xb_ref, xg_ref, w_ref, b_ref, out_ref, *, W,
-                 clip):
+def _tail_kernel(xt_ref, xb_ref, xg_ref, w_ref, b_ref, out_ref, x_s,
+                 *, W, clip):
     xh = jnp.concatenate([xt_ref[0], xb_ref[0], xg_ref[0]], axis=0)
-    x = _t_cs(xh)  # [64, 18, W]
-    y = _cs_conv(_colext(x), w_ref[0], b_ref[0], relu=False)  # [3,16,W]
-    if clip:
-        y = jnp.clip(y, 0.0, 1.0)
-    out_ref[0] = y.astype(out_ref.dtype)  # planar [3, 16, W]
+    x_s[:, :, 1 : W + 1] = _t_cs(xh)  # [64, 18, W]
+    _colext_ref(x_s, W)
+    # chunks write straight into the planar out block
+    co = w_ref.shape[1]
+    r = 0
+    while r < _T:
+        sr = min(_SR, _T - r)
+        taps = []
+        for dy in range(3):
+            for dx in range(3):
+                taps.append(x_s[:, r + dy : r + dy + sr, dx : dx + W])
+        z = jnp.concatenate(taps, axis=0)
+        y = jax.lax.dot_general(
+            w_ref[0], z,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = y + b_ref[0]
+        if clip:
+            y = jnp.clip(y, 0.0, 1.0)
+        out_ref[0, :, r : r + sr] = y.astype(out_ref.dtype)
+        r += sr
 
 
 def decoder_tail(
@@ -407,6 +502,7 @@ def decoder_tail(
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
         kern,
+        scratch_shapes=[pltpu.VMEM((64, 18, W + 2), dtype)],
         grid=(B, H // _T),
         in_specs=[
             pl.BlockSpec((1, 1, W, 64), top_map),
@@ -518,12 +614,20 @@ def junction(
         _junction_kernel, W=W, n_tiles=n_tiles, deep=deep, clip=clip
     )
     interpret = jax.default_backend() != "tpu"
+    scratch = [
+        pltpu.VMEM((64, 24, W + 2), dtype),  # u (col-extended)
+        pltpu.VMEM((64, 22, W + 2), dtype),  # m
+        pltpu.VMEM((3, 20, W + 2), dtype),   # rgb
+        pltpu.VMEM((64, 18, W + 2), dtype),  # e1
+        pltpu.VMEM((64, 16, W), dtype),      # e2
+    ]
     return pl.pallas_call(
         kern,
         grid=(B, n_tiles),
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * 9 * 64 * (64 + 3 + 64 + (64 if deep else 0)),
