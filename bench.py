@@ -68,10 +68,14 @@ def main() -> None:
 
     best = 0.0
     for dtype, method in modes:
-        # fold_transform stays off: measured 72 -> 52 fps with it on
-        # (XLA lowers batch_group_count convs ~4x slower than
-        # shared-weight convs on v5e) — see CascadeConfig.fold_transform
-        cfg = cascade.CascadeConfig(compute_dtype=dtype, method=method)
+        # pack2_junction: image-pair channel packing for the 64-ch
+        # tier (+8% measured). fold_transform stays off (measured 72 ->
+        # 52 fps: XLA lowers batch_group_count convs ~4x slower) — see
+        # CascadeConfig docstrings / DESIGN.md §3.
+        cfg = cascade.CascadeConfig(
+            compute_dtype=dtype, method=method,
+            pack2_junction=(dtype == "bfloat16"),
+        )
         cache = cascade.precompute_style(params["encoder"], style, cfg)
         alpha = jnp.float32(0.6)
         fn = lambda c: cascade.stylize(params, c, cache, alpha, cfg)

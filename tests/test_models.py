@@ -503,3 +503,47 @@ class TestFusedJunction:
         got = junction_pallas.decoder_tail(f, wf, bf, clip=False)
         err = float(jnp.max(jnp.abs(got - ref)))
         assert err < 1e-3, err
+
+
+class TestPack2Junction:
+    """pack2_junction ≡ the unpacked cascade (identical math)."""
+
+    def test_pack2_matches_unpacked_f32(self, params, imgs):
+        import dataclasses
+
+        content, style = imgs
+        cfg = cascade.CascadeConfig(
+            relu_targets=("relu3_1", "relu2_1", "relu1_1"),
+            pack2_junction=True,
+        )
+        cfg_off = dataclasses.replace(cfg, pack2_junction=False)
+        cache = cascade.precompute_style(
+            params["encoder"], jnp.asarray(style), cfg
+        )
+        c = jnp.concatenate([jnp.asarray(content)] * 2)  # even batch
+        on = cascade.stylize(params, c, cache, 0.7, cfg)
+        off = cascade.stylize(params, c, cache, 0.7, cfg_off)
+        assert float(jnp.max(jnp.abs(on - off))) < 2e-2
+        # the two batch entries are the same image — packed pairing
+        # must not mix them
+        assert float(jnp.max(jnp.abs(on[0] - on[1]))) < 1e-5
+
+    def test_pack2_odd_batch_falls_back(self, params, imgs):
+        content, style = imgs
+        cfg = cascade.CascadeConfig(
+            relu_targets=("relu2_1", "relu1_1"), pack2_junction=True
+        )
+        cache = cascade.precompute_style(
+            params["encoder"], jnp.asarray(style), cfg
+        )
+        out = cascade.stylize(params, jnp.asarray(content), cache, 0.7, cfg)
+        assert out.shape == content.shape
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_pack2_rejects_combos(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            cascade.CascadeConfig(pack2_junction=True, fuse_junction=True)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            cascade.CascadeConfig(pack2_junction=True, fold_transform=True)

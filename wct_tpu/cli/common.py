@@ -92,7 +92,8 @@ def add_model_flags(p: argparse.ArgumentParser) -> None:
         "explicit --fold/--no-fold always wins over the preset): "
         "fidelity = f32 + eigh (reference-exact truncation), "
         "balanced = f32 convs + auto solver (16 fps/chip at 512px), "
-        "throughput = bf16 + fast Newton-Schulz (70+ fps/chip at 512px)",
+        "throughput = bf16 + fast Newton-Schulz + image-pair packed "
+        "64-ch convs (78 fps/chip at 512px)",
     )
     p.add_argument(
         "--fold",
@@ -105,16 +106,20 @@ def add_model_flags(p: argparse.ArgumentParser) -> None:
     )
 
 
+# (dtype, method, fold, pack2)
 _PRESETS = {
-    "fidelity": ("float32", "eigh", False),
-    "balanced": ("float32", "auto", False),
-    "throughput": ("bfloat16", "newton_schulz_fast", False),
+    "fidelity": ("float32", "eigh", False, False),
+    "balanced": ("float32", "auto", False, False),
+    "throughput": ("bfloat16", "newton_schulz_fast", False, True),
 }
 
 
 def config_from_args(args: argparse.Namespace) -> cascade.CascadeConfig:
+    preset_pack2 = False
     if getattr(args, "preset", None):
-        args.dtype, args.method, preset_fold = _PRESETS[args.preset]
+        args.dtype, args.method, preset_fold, preset_pack2 = _PRESETS[
+            args.preset
+        ]
         if getattr(args, "fold", None) is None:
             args.fold = preset_fold
     return cascade.CascadeConfig(
@@ -130,6 +135,7 @@ def config_from_args(args: argparse.Namespace) -> cascade.CascadeConfig:
         wct_groups=args.wct_groups,
         soft_trunc=args.soft_trunc,
         fold_transform=bool(getattr(args, "fold", None)),
+        pack2_junction=preset_pack2,
     )
 
 

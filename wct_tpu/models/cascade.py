@@ -101,7 +101,18 @@ class CascadeConfig:
     # (f32-exact boundary semantics, tested); fp rounding differs at
     # matmul-association level. Requires the full-res H and W to be
     # multiples of 16 — other shapes silently take the unfused path.
+    # MEASURED SLOWER than the XLA path on v5e (48.8 vs 72.3 fps —
+    # Mosaic VMEM data movement; DESIGN.md §3); kept as opt-in
+    # infrastructure. Use pack2_junction for the measured XLA win.
     fuse_junction: bool = False
+    # Image-pair channel packing for the same junction segments, in
+    # pure XLA (ops/pack2.py): [B,H,W,64] pairs → [B/2,H,W,128] with
+    # block-diagonal weights — fills all MXU lanes and removes the
+    # 64→128 lane padding. Measured 32.7 → 27.6 ms per junction
+    # segment at 512px/batch-16 INCLUDING pack/unpack. Identical math
+    # (off-diagonal blocks are exact zeros); fp rounding differs like
+    # any retiling. Odd batches take the unpacked path.
+    pack2_junction: bool = False
 
     def __post_init__(self):
         from wct_tpu.models import vgg  # local: avoid import cycle
@@ -143,6 +154,12 @@ class CascadeConfig:
                 "fuse_junction and fold_transform are mutually exclusive "
                 "(the junction kernel replaces the decoder tail the fold "
                 "would rewrite)"
+            )
+        if self.pack2_junction and (self.fuse_junction or self.fold_transform):
+            raise ValueError(
+                "pack2_junction is mutually exclusive with fuse_junction "
+                "and fold_transform (all three rewrite the same decoder "
+                "tail / encoder head segment)"
             )
 
     @property
@@ -315,21 +332,28 @@ def stylize_fn(
     junction_ok = (
         cfg.fuse_junction and (h + pad_h) % 16 == 0 and (w + pad_w) % 16 == 0
     )
+    pack2_ok = cfg.pack2_junction and b % 2 == 0
     state_kind, state_val = "img", img
     for _ in range(cfg.passes):
         for li, level in enumerate(cfg.relu_targets):
             if state_kind == "img":
-                if junction_ok and level != "relu1_1":
-                    # fused encoder head: conv0∘conv1_1+conv1_2+pool1
-                    from wct_tpu.ops import junction_pallas
-
+                if (junction_ok or pack2_ok) and level != "relu1_1":
+                    # fused/packed encoder head: conv0∘conv1_1+conv1_2+pool1
                     enc = params["encoder"]
-                    p1 = junction_pallas.encoder_head(
+                    head_args = (
                         state_val,
                         enc["conv0"]["w"], enc["conv0"]["b"],
                         enc["conv1_1"]["w"], enc["conv1_1"]["b"],
                         enc["conv1_2"]["w"], enc["conv1_2"]["b"],
                     )
+                    if pack2_ok:
+                        from wct_tpu.ops import pack2
+
+                        p1 = pack2.head_pack2(*head_args)
+                    else:
+                        from wct_tpu.ops import junction_pallas
+
+                        p1 = junction_pallas.encoder_head(*head_args)
                     feats = vgg.encode_from_pool1(
                         params["encoder"], p1, level
                     )
@@ -382,7 +406,7 @@ def stylize_fn(
                 junction_ok
                 and len(dec_lib.decoder_layers(level)) == 1
                 and not (cfg.swap5 and level == "relu5_1")
-            ):
+            ):  # pallas per-image-weight tail (pack2 keeps the XLA path)
                 # Single-conv decoder (relu1_1): fold the per-image
                 # WCT/AdaIN affine into the conv and run the Pallas
                 # per-image-weight tail — the apply matmul, its layout
@@ -415,29 +439,44 @@ def stylize_fn(
             transformed = jax.vmap(
                 lambda f: _transform_level(f, level, style, alpha, cfg)
             )(feats)
-            if (
+            use_pallas_j = (
                 junction_ok
                 and nxt is not None
-                # the shallow (deep=False) junction variant currently
+                # the shallow (deep=False) pallas variant currently
                 # hits a Mosaic backend failure; the 2→1 boundary runs
                 # the XLA decode+encode until that is resolved
                 and nxt != "relu1_1"
                 and dec_lib.has_standard_tail(level)
-            ):
-                from wct_tpu.ops import junction_pallas  # lazy pallas dep
-
+            )
+            use_pack2_j = (
+                pack2_ok
+                and nxt is not None
+                and dec_lib.has_standard_tail(level)
+            )
+            if use_pallas_j or use_pack2_j:
                 dec_p = params["decoders"][level]
                 enc = params["encoder"]
                 d = dec_lib.decode_partial(dec_p, transformed, level)
                 deep = nxt != "relu1_1"
-                out = junction_pallas.junction(
+                j_args = (
                     d,
                     *dec_lib.tail_weights(dec_p, level),
                     enc["conv0"]["w"], enc["conv0"]["b"],
                     enc["conv1_1"]["w"], enc["conv1_1"]["b"],
                     enc["conv1_2"]["w"], enc["conv1_2"]["b"],
-                    deep=deep, clip=cfg.clip_between_levels,
                 )
+                if use_pack2_j:
+                    from wct_tpu.ops import pack2
+
+                    out = pack2.junction_pack2(
+                        *j_args, deep=deep, clip=cfg.clip_between_levels
+                    )
+                else:
+                    from wct_tpu.ops import junction_pallas
+
+                    out = junction_pallas.junction(
+                        *j_args, deep=deep, clip=cfg.clip_between_levels
+                    )
                 state_kind, state_val = ("pooled" if deep else "e1"), out
             else:
                 out = dec_lib.decode(
