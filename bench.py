@@ -72,22 +72,33 @@ def main() -> None:
         # tier (+8% measured). fold_transform stays off (measured 72 ->
         # 52 fps: XLA lowers batch_group_count convs ~4x slower) — see
         # CascadeConfig docstrings / DESIGN.md §3.
-        cfg = cascade.CascadeConfig(
-            compute_dtype=dtype, method=method,
-            pack2_junction=(dtype == "bfloat16"),
-        )
-        cache = cascade.precompute_style(params["encoder"], style, cfg)
+        # Throughput (THE metric) is measured first and each step is
+        # fenced so a late failure can't lose an already-measured
+        # number; the packed config falls back to the plain one if it
+        # fails to compile on some toolchain.
         alpha = jnp.float32(0.6)
-        fn = lambda c: cascade.stylize(params, c, cache, alpha, cfg)
-
-        t1 = latency(fn, content1)
-        fps = throughput(fn, batches)
+        fps = 0.0
+        for pack2 in ((True, False) if dtype == "bfloat16" else (False,)):
+            try:
+                cfg = cascade.CascadeConfig(
+                    compute_dtype=dtype, method=method, pack2_junction=pack2,
+                )
+                cache = cascade.precompute_style(params["encoder"], style, cfg)
+                fn = lambda c: cascade.stylize(params, c, cache, alpha, cfg)
+                fps = throughput(fn, batches)
+                break
+            except Exception as e:  # noqa: BLE001 — record what we can
+                log(f"{dtype}/{method} pack2={pack2} failed: "
+                    f"{str(e).splitlines()[0][:120]}")
         best = max(best, fps)
-        log(
-            f"{dtype}/{method}: batch-1 latency {t1 * 1e3:.1f} ms (incl. "
-            f"~27 ms tunnel RTT) | pipelined batch-{args.batch} throughput "
-            f"{fps:.1f} frames/s/chip"
-        )
+        line = (f"{dtype}/{method}: pipelined batch-{args.batch} "
+                f"throughput {fps:.1f} frames/s/chip")
+        try:
+            t1 = latency(fn, content1)
+            line += f" | batch-1 latency {t1 * 1e3:.1f} ms (incl. ~27 ms tunnel RTT)"
+        except Exception as e:  # noqa: BLE001
+            line += f" | batch-1 latency unavailable ({str(e).splitlines()[0][:60]})"
+        log(line)
 
     print(
         json.dumps(
