@@ -78,6 +78,7 @@ def main() -> None:
         # fails to compile on some toolchain.
         alpha = jnp.float32(0.6)
         fps = 0.0
+        fn = None
         for pack2 in ((True, False) if dtype == "bfloat16" else (False,)):
             try:
                 cfg = cascade.CascadeConfig(
@@ -93,6 +94,9 @@ def main() -> None:
         best = max(best, fps)
         line = (f"{dtype}/{method}: pipelined batch-{args.batch} "
                 f"throughput {fps:.1f} frames/s/chip")
+        if fn is None:
+            log(line + " | no config compiled — latency skipped")
+            continue
         try:
             t1 = latency(fn, content1)
             line += f" | batch-1 latency {t1 * 1e3:.1f} ms (incl. ~27 ms tunnel RTT)"

@@ -128,6 +128,25 @@ def test_preset_overrides_dtype_and_method(tiny_imgs):
     assert cfg.compute_dtype == "float32" and cfg.method == "auto"
 
 
+def test_preset_throughput_with_explicit_fold():
+    """An explicit --fold wins over the preset's pack2 (ADVICE.md r1):
+    the combination must build a valid config, not trip CascadeConfig's
+    pack2/fold mutual-exclusion check."""
+    import argparse
+
+    from wct_tpu.cli import common
+
+    p = argparse.ArgumentParser()
+    common.add_model_flags(p)
+    args = p.parse_args(["--preset", "throughput", "--fold"])
+    cfg = common.config_from_args(args)
+    assert cfg.fold_transform and not cfg.pack2_junction
+    # --no-fold keeps the preset's pack2
+    args = p.parse_args(["--preset", "throughput", "--no-fold"])
+    cfg = common.config_from_args(args)
+    assert cfg.pack2_junction and not cfg.fold_transform
+
+
 def test_train_cli_synthetic(tmp_path):
     from wct_tpu.cli import train as cli
 
@@ -322,6 +341,57 @@ def test_trained_decoder_loads_into_stylize(tmp_path, rng):
         ]
     )
     assert len(images.get_files(o_dir)) == 1
+
+
+def test_stylize_cli_per_level_checkpoints(tmp_path, rng):
+    """Reference-style loading: --vgg-path + one --checkpoints npz per
+    --relu-targets entry (stylize.py:~60 restored one Saver dir per
+    level — here the converted npz equivalents)."""
+    import jax
+
+    from wct_tpu.cli import stylize as s_cli
+    from wct_tpu.models import decoder as dec_lib, vgg
+    from wct_tpu.train import checkpoint
+
+    enc_npz = tmp_path / "encoder.npz"
+    checkpoint.save_pytree(
+        enc_npz, {"encoder": vgg.init_encoder_params(jax.random.PRNGKey(0))}
+    )
+    ckpts = []
+    for i, t in enumerate(("relu2_1", "relu1_1")):
+        p = tmp_path / f"decoder_{t}.npz"
+        checkpoint.save_pytree(
+            p, dec_lib.init_decoder_params(jax.random.PRNGKey(i + 1), t)
+        )
+        ckpts.append(str(p))
+
+    c_dir = tmp_path / "content"
+    c_dir.mkdir()
+    images.save_img(c_dir / "c.png", rng.random((32, 32, 3)))
+    o_dir = tmp_path / "out"
+    s_cli.main(
+        [
+            "--vgg-path", str(enc_npz),
+            "--checkpoints", *ckpts,
+            "--relu-targets", "relu2_1", "relu1_1",
+            "--content-path", str(c_dir),
+            "--style-path", str(c_dir),
+            "--out-path", str(o_dir),
+        ]
+    )
+    assert len(images.get_files(o_dir)) == 1
+    # count mismatch fails loudly
+    with pytest.raises(SystemExit, match="pair by position"):
+        s_cli.main(
+            [
+                "--vgg-path", str(enc_npz),
+                "--checkpoints", ckpts[0],
+                "--relu-targets", "relu2_1", "relu1_1",
+                "--content-path", str(c_dir),
+                "--style-path", str(c_dir),
+                "--out-path", str(o_dir),
+            ]
+        )
 
 
 def test_stream_cli_offline_video(tmp_path, rng):

@@ -448,7 +448,7 @@ class TestFusedJunction:
             cascade.CascadeConfig(fuse_junction=True, fold_transform=True)
 
     def test_unfusable_shape_falls_back(self, params, imgs):
-        """Shapes failing the W%128 gate silently run unfused."""
+        """Shapes failing the H/W % 16 eligibility gate silently run unfused."""
         content, style = imgs
         cfg = cascade.CascadeConfig(
             relu_targets=("relu2_1", "relu1_1"), fuse_junction=True

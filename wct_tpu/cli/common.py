@@ -40,6 +40,22 @@ def add_model_flags(p: argparse.ArgumentParser) -> None:
         "(smoke tests).",
     )
     p.add_argument(
+        "--checkpoints",
+        nargs="+",
+        default=None,
+        help="per-level decoder npz files, one per --relu-targets entry in "
+        "the same order (reference stylize.py --checkpoints, which took "
+        "one TF checkpoint dir per level — convert those with "
+        "tools/convert_tf_ckpt first). Alternative to a --weights bundle; "
+        "needs --vgg-path for the encoder.",
+    )
+    p.add_argument(
+        "--vgg-path",
+        default=None,
+        help="encoder weights npz (reference --vgg-path took the t7; "
+        "convert it once with tools/convert_t7). Used with --checkpoints.",
+    )
+    p.add_argument(
         "--relu-targets",
         nargs="+",
         default=list(cascade.DEFAULT_TARGETS),
@@ -122,6 +138,10 @@ def config_from_args(args: argparse.Namespace) -> cascade.CascadeConfig:
         ]
         if getattr(args, "fold", None) is None:
             args.fold = preset_fold
+        # An explicit --fold wins over the preset (per the --preset help
+        # text): pack2 and fold rewrite the same decoder-tail segment,
+        # so the preset's pack2 yields to the user's fold.
+        preset_pack2 = preset_pack2 and not bool(getattr(args, "fold", None))
     return cascade.CascadeConfig(
         relu_targets=tuple(args.relu_targets),
         transform="adain" if args.adain else "wct",
@@ -140,8 +160,31 @@ def config_from_args(args: argparse.Namespace) -> cascade.CascadeConfig:
 
 
 def load_params(args: argparse.Namespace) -> dict:
-    """Load the weight bundle, or random-init (printing a loud notice)."""
+    """Load the weight bundle, per-level checkpoints, or random-init."""
     targets = tuple(args.relu_targets)
+    ckpts = getattr(args, "checkpoints", None)
+    if ckpts:
+        # Reference-style per-level loading (stylize.py:~60 restored one
+        # Saver checkpoint per --checkpoints dir, paired with
+        # --relu-targets by position).
+        if args.weights:
+            raise SystemExit("--checkpoints and --weights are exclusive")
+        if len(ckpts) != len(targets):
+            raise SystemExit(
+                f"--checkpoints got {len(ckpts)} files for "
+                f"{len(targets)} --relu-targets; they pair by position"
+            )
+        if not getattr(args, "vgg_path", None):
+            raise SystemExit("--checkpoints needs --vgg-path for the encoder")
+        enc = checkpoint.load_pytree(args.vgg_path)
+        decoders = {}
+        for t, path in zip(targets, ckpts):
+            tree = checkpoint.load_pytree(path)
+            decoders[t] = tree["params"] if "params" in tree else tree
+        return {
+            "encoder": enc["encoder"] if "encoder" in enc else enc,
+            "decoders": decoders,
+        }
     if args.weights:
         params = checkpoint.load_pytree(args.weights)
         missing = [t for t in targets if t not in params.get("decoders", {})]
