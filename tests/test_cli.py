@@ -499,3 +499,47 @@ class TestStreamEngine:
         )
         with pytest.raises(RuntimeError, match="no style"):
             eng.process(rng.random((32, 32, 3)).astype(np.float32))
+
+    def test_pipelined_matches_strict_in_order(self, rng):
+        """submit-ahead/sync-behind returns the SAME outputs as strict
+        per-frame processing, shifted by pipeline_depth, and drains."""
+        import jax
+
+        from wct_tpu.models import cascade
+        from wct_tpu.utils.stream import StreamStylizer
+
+        params = cascade.init_params(jax.random.PRNGKey(0))
+        cfg = cascade.CascadeConfig(relu_targets=("relu2_1", "relu1_1"))
+        eng = StreamStylizer(params, cfg, 32, 32)
+        eng.set_style(rng.random((32, 32, 3)).astype(np.float32))
+        frames = [rng.random((32, 32, 3)).astype(np.float32) for _ in range(4)]
+
+        strict = [eng.process(f) for f in frames]
+        piped = [eng.process_pipelined(f) for f in frames]
+        assert piped[0] is None  # priming
+        while (tail := eng.collect()) is not None:
+            piped.append(tail)
+        piped = [p for p in piped if p is not None]
+        assert len(piped) == len(strict)
+        for a, b in zip(strict, piped):
+            np.testing.assert_array_equal(a, b)
+        assert eng.n_pending == 0
+
+    def test_uint8_readback_matches_host_quantization(self, rng):
+        """Device-side uint8 quantization == clip(x,0,1)*255→uint8 on host."""
+        import jax
+
+        from wct_tpu.models import cascade
+        from wct_tpu.utils.stream import StreamStylizer
+
+        params = cascade.init_params(jax.random.PRNGKey(0))
+        cfg = cascade.CascadeConfig(relu_targets=("relu1_1",))
+        eng_f = StreamStylizer(params, cfg, 32, 32)
+        eng_u = StreamStylizer(params, cfg, 32, 32, readback="uint8")
+        style = rng.random((32, 32, 3)).astype(np.float32)
+        eng_f.set_style(style)
+        eng_u.set_style(style)
+        frame = rng.random((32, 32, 3)).astype(np.float32)
+        host_u8 = (np.clip(eng_f.process(frame), 0, 1) * 255).astype(np.uint8)
+        dev_u8 = (np.clip(eng_u.process(frame), 0, 1) * 255).astype(np.uint8)
+        np.testing.assert_array_equal(host_u8, dev_u8)

@@ -40,6 +40,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--batch-size", type=int, default=1,
                    help=">1 batches frames for offline video throughput "
                         "(adds latency; only sensible with --video)")
+    p.add_argument("--no-pipeline", action="store_true",
+                   help="strict per-frame latency: wait for each frame's "
+                        "readback before submitting the next. Default is "
+                        "submit-ahead/sync-behind (one frame of extra "
+                        "latency, readback overlaps the next frame's "
+                        "compute)")
     return p.parse_args(argv)
 
 
@@ -101,7 +107,8 @@ def main(argv=None) -> None:
     ]
 
     engine = StreamStylizer(
-        params, cfg, args.height, args.width, keep_colors=args.keep_colors
+        params, cfg, args.height, args.width, keep_colors=args.keep_colors,
+        readback="uint8",  # quantize on device: 1/4 the D2H bytes
     )
     engine.alpha = args.alpha
     style_idx = 0
@@ -149,7 +156,14 @@ def main(argv=None) -> None:
                 engine.set_interp_weights(np.array([w0, 1 - w0]))
 
             t0 = time.perf_counter()
-            stylized = engine.process(frame_rgb)
+            if args.no_pipeline:
+                stylized = engine.process(frame_rgb)
+            else:
+                # Submit-ahead/sync-behind: this call returns the
+                # PREVIOUS frame's output while this frame computes.
+                stylized = engine.process_pipelined(frame_rgb)
+                if stylized is None:
+                    continue  # pipeline priming (first frame)
             dt = time.perf_counter() - t0
 
             out_bgr = (np.clip(stylized, 0, 1) * 255).astype(np.uint8)[..., ::-1]
@@ -191,6 +205,13 @@ def main(argv=None) -> None:
             if args.max_frames and n >= args.max_frames:
                 break
     finally:
+        # Drain the in-flight pipeline tail so --out loses no frames.
+        while (tail := engine.collect()) is not None:
+            if writer is not None:
+                writer.write(
+                    (np.clip(tail, 0, 1) * 255).astype(np.uint8)[..., ::-1]
+                )
+            n += 1
         elapsed = time.perf_counter() - t_start
         print(f"{n} frames in {elapsed:.1f}s = {n / max(elapsed, 1e-9):.1f} fps")
         source.stop()
