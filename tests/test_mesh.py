@@ -122,3 +122,118 @@ def test_output_sharding_is_batch_split(setup):
     # Each device holds exactly its batch shard.
     shard_shapes = {s.data.shape for s in out.addressable_shards}
     assert shard_shapes == {(1, SIZE, SIZE, 3)}
+
+
+# ---------------------------------------------------------------------------
+# Program-structure assertions on the compiled (SPMD-partitioned) HLO
+# (VERDICT r1 item 7): DP inference must be embarrassingly parallel —
+# ZERO inter-device collectives — while spatial sharding and DP training
+# must contain exactly the collectives their semantics require. These
+# pin the scaling STRUCTURE that single-core CI cannot measure as
+# wall-clock speedup.
+# ---------------------------------------------------------------------------
+
+_COLLECTIVES = (
+    "all-reduce", "collective-permute", "all-gather", "reduce-scatter",
+    "all-to-all",
+)
+
+
+def _collectives_in(text: str) -> list[str]:
+    return [tok for tok in _COLLECTIVES if tok in text]
+
+
+def test_dp_inference_compiles_with_zero_collectives(setup):
+    """Data-parallel inference is per-image independent: the partitioned
+    program must contain NO inter-device communication at all — this is
+    what makes DP scaling linear over ICI."""
+    params, content, cache, cfg = setup
+    mesh = mesh_lib.create_mesh()
+    fn = mesh_lib._sharded_stylize_fn(cfg, mesh, "data", False)
+    sds = jax.ShapeDtypeStruct(
+        (8, SIZE, SIZE, 3), jnp.float32, sharding=mesh_lib.batch_sharding(mesh)
+    )
+    text = fn.lower(params, sds, cache, jnp.float32(0.7)).compile().as_text()
+    assert not _collectives_in(text), _collectives_in(text)
+
+
+def test_config4_shape_compiles_dp_with_zero_collectives():
+    """BASELINE config 4's ACTUAL shape (batch-8 1024px, full 5-level
+    cascade) compiles for the 8-device DP mesh — not just the 32px
+    dryrun shapes — and stays collective-free."""
+    params = cascade.init_params(KEY)
+    cfg = cascade.CascadeConfig()  # full relu5_1→relu1_1
+    rng = np.random.default_rng(3)
+    style = jnp.asarray(rng.random((256, 256, 3), np.float32))
+    cache = cascade.precompute_style(params["encoder"], style, cfg)
+    mesh = mesh_lib.create_mesh()
+    fn = mesh_lib._sharded_stylize_fn(cfg, mesh, "data", False)
+    sds = jax.ShapeDtypeStruct(
+        (8, 1024, 1024, 3), jnp.float32,
+        sharding=mesh_lib.batch_sharding(mesh),
+    )
+    compiled = fn.lower(params, sds, cache, jnp.float32(0.6)).compile()
+    assert not _collectives_in(compiled.as_text())
+
+
+def test_spatial_sharding_compiles_with_halo_exchange(setup):
+    """Contrast case: HEIGHT sharding is NOT communication-free — the
+    partitioner must insert halo exchanges (collective-permute) for the
+    reflect-pad convs/pools and all-reduce the per-image Gram stats."""
+    params, content, cache, cfg = setup
+    mesh = mesh_lib.create_mesh(4, axis_name="sp")
+    fn = mesh_lib._sharded_stylize_fn(cfg, mesh, "sp", True)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sds = jax.ShapeDtypeStruct(
+        (1, SIZE, SIZE, 3), jnp.float32,
+        sharding=NamedSharding(mesh, P(None, "sp")),
+    )
+    text = fn.lower(params, sds, cache, jnp.float32(0.7)).compile().as_text()
+    found = _collectives_in(text)
+    assert "collective-permute" in found or "all-gather" in found, found
+    assert "all-reduce" in found, found  # Gram statistics reduction
+
+
+def test_dp_train_step_allreduces_gradients():
+    """Contrast case: DP training must contain all-reduce (the gradient
+    psum over the data axis) and nothing pathological beyond it."""
+    from wct_tpu.models import vgg
+    from wct_tpu.train import TrainConfig, init_train_state, make_sharded_train_step
+
+    mesh = mesh_lib.create_mesh()
+    cfg = TrainConfig(relu_target="relu2_1", batch_size=8, crop_size=SIZE)
+    enc = vgg.init_encoder_params(jax.random.PRNGKey(1))
+    state = init_train_state(jax.random.PRNGKey(2), cfg)
+    step = make_sharded_train_step(mesh, cfg)
+    sds = jax.ShapeDtypeStruct(
+        (8, SIZE, SIZE, 3), jnp.float32, sharding=mesh_lib.batch_sharding(mesh)
+    )
+    text = step.lower(state, enc, sds).compile().as_text()
+    assert "all-reduce" in text
+
+
+def test_dp_throughput_scaling_smoke(setup, capsys):
+    """Relative per-image step time at mesh size 1 vs 8 on the virtual
+    CPU mesh. This host has ONE core, so the 8 virtual devices share
+    it and true speedup is unmeasurable here — the test records the
+    numbers (visible with -s) and asserts only that DP adds no
+    pathological overhead (≤3× single-device per-image time); the
+    linear-scaling evidence is the zero-collectives assertion above."""
+    import time
+
+    params, content, cache, cfg = setup
+    per_image = {}
+    for n in (1, 8):
+        mesh = mesh_lib.create_mesh(n)
+        x = mesh_lib.shard_batch(jnp.asarray(content[:n]), mesh)
+        out = mesh_lib.stylize_sharded(params, x, cache, 0.7, cfg, mesh)
+        jax.block_until_ready(out)  # warm (compile)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = mesh_lib.stylize_sharded(params, x, cache, 0.7, cfg, mesh)
+        jax.block_until_ready(out)
+        per_image[n] = (time.perf_counter() - t0) / 3 / n
+    print(f"per-image step time: 1-dev {per_image[1]*1e3:.2f} ms, "
+          f"8-dev {per_image[8]*1e3:.2f} ms (1-core host)")
+    assert per_image[8] < 3 * per_image[1] + 0.05
