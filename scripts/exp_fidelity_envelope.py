@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Fidelity envelope: pixel deviation of every speed config vs f32+eigh.
+
+    python scripts/exp_fidelity_envelope.py [--size 512] [--oracle-size 128]
+        [--weights bundle.npz] [--fps] [--alpha 0.6]
+
+BASELINE.json's north star demands BOTH ≥60 fps/chip AND "output
+matching reference stylize.py pixel-wise within eigensolver tolerance".
+Round 1 satisfied them with two DIFFERENT configs (VERDICT r1, weak
+item 1). This experiment makes "eigensolver tolerance" empirical:
+
+- envelope E = deviation of the on-device f32+eigh path from the
+  float64 numpy oracle (tools/oracle.py) — two equally-legitimate
+  implementations of the same math differing only in eigensolver,
+  conv association, and precision. Any config within (a small multiple
+  of) E is indistinguishable from "a correct reimplementation" at the
+  pixel level.
+- deviation D(cfg) = each speed config vs the on-device f32+eigh path
+  at the SAME size: f32+NS(HIGHEST), f32+NS-fast, bf16+NS-fast,
+  bf16+NS-fast+pack2 (the round-1 headline).
+
+Prints a table of max-abs / q99 / median pixel deviation (in [0,1]
+units) and PSNR per config, plus pipelined fps when --fps is given.
+Decoders are mid-range-scaled when random (same trick as
+tests/test_fidelity.py: He-random decoders saturate the final clip and
+turn fp noise into ±1.0 flips; pass --weights with trained decoders
+for the real measurement).
+
+Results land in the DESIGN.md measurement ledger.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def _metrics(a: np.ndarray, b: np.ndarray) -> dict:
+    d = np.abs(a.astype(np.float64) - b.astype(np.float64))
+    mse = float(np.mean(d**2))
+    return {
+        "max": float(d.max()),
+        "q99": float(np.quantile(d, 0.99)),
+        "med": float(np.median(d)),
+        "psnr": float("inf") if mse == 0 else 10 * np.log10(1.0 / mse),
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--oracle-size", type=int, default=128,
+                   help="size for the float64 numpy oracle comparison "
+                   "(pure-numpy convs are slow; 0 disables)")
+    p.add_argument("--alpha", type=float, default=0.6)
+    p.add_argument("--weights", default=None,
+                   help="trained bundle npz; omit for mid-scaled random")
+    p.add_argument("--fps", action="store_true",
+                   help="also measure pipelined batch-16 throughput per config")
+    p.add_argument("--batch", type=int, default=16)
+    args = p.parse_args()
+
+    from wct_tpu.cli.common import enable_compile_cache
+    from wct_tpu.models import cascade, decoder as dec_lib
+    from wct_tpu.train import checkpoint
+    from wct_tpu.utils.profiling import pipelined_fps
+
+    enable_compile_cache()
+    print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr)
+
+    if args.weights:
+        params = checkpoint.load_pytree(args.weights)
+        print(f"weights: {args.weights}")
+    else:
+        params = cascade.init_params(jax.random.PRNGKey(3))
+        for t, dec in params["decoders"].items():
+            last = [s[1] for s in dec_lib.decoder_layers(t) if s[0] == "conv"][-1]
+            dec[last]["w"] = dec[last]["w"] * 0.02
+            dec[last]["b"] = dec[last]["b"] + 0.5
+        print("weights: random (mid-range-scaled final convs)")
+
+    rng = np.random.default_rng(9)
+    content = rng.random((args.size, args.size, 3)).astype(np.float32)
+    style = rng.random((args.size, args.size, 3)).astype(np.float32)
+
+    CONFIGS = [
+        ("f32+eigh (fidelity ref)", dict(compute_dtype="float32", method="eigh")),
+        ("f32+NS", dict(compute_dtype="float32", method="newton_schulz")),
+        ("f32+NS-fast", dict(compute_dtype="float32", method="newton_schulz_fast")),
+        ("bf16+NS", dict(compute_dtype="bfloat16", method="newton_schulz")),
+        ("bf16+NS-fast", dict(compute_dtype="bfloat16", method="newton_schulz_fast")),
+        ("bf16+NS-fast+pack2", dict(compute_dtype="bfloat16",
+                                    method="newton_schulz_fast",
+                                    pack2_junction=True)),
+    ]
+
+    outs: dict[str, np.ndarray] = {}
+    fps: dict[str, float] = {}
+    for name, kw in CONFIGS:
+        cfg = cascade.CascadeConfig(**kw)
+        cache = cascade.precompute_style(
+            params["encoder"], jnp.asarray(style), cfg
+        )
+        t0 = time.time()
+        # batch-2 (pack2 needs an even batch; entry 0 is what we compare)
+        c2 = jnp.asarray(np.stack([content, content]))
+        out = cascade.stylize(params, c2, cache, args.alpha, cfg)
+        outs[name] = np.asarray(out[0], np.float32)
+        print(f"  {name}: ran in {time.time() - t0:.1f}s", file=sys.stderr)
+        if args.fps:
+            batches = [
+                jnp.asarray(
+                    rng.random((args.batch, args.size, args.size, 3), np.float32)
+                )
+                for _ in range(4)
+            ]
+            fn = lambda c: cascade.stylize(params, c, cache, args.alpha, cfg)  # noqa: B023
+            fps[name] = pipelined_fps(fn, batches)
+
+    ref = outs["f32+eigh (fidelity ref)"]
+
+    # float64 oracle envelope at a CPU-tractable size
+    env = None
+    if args.oracle_size:
+        from wct_tpu.tools import oracle
+
+        s = args.oracle_size
+        c_small = content[:s, :s]
+        st_small = style[:s, :s]
+        t0 = time.time()
+        o = oracle.cascade_np(
+            params, c_small, st_small, args.alpha, cascade.DEFAULT_TARGETS
+        ).astype(np.float32)
+        print(f"  oracle({s}px): {time.time() - t0:.1f}s", file=sys.stderr)
+        cfg = cascade.CascadeConfig()
+        cache = cascade.precompute_style(
+            params["encoder"], jnp.asarray(st_small), cfg
+        )
+        dev = np.asarray(
+            cascade.stylize(
+                params, jnp.asarray(c_small)[None], cache, args.alpha, cfg
+            )[0]
+        )
+        env = _metrics(dev, o)
+        print(
+            f"\nENVELOPE E (f32+eigh vs float64 oracle, {s}px): "
+            f"max {env['max']:.2e}  q99 {env['q99']:.2e}  "
+            f"med {env['med']:.2e}  psnr {env['psnr']:.1f} dB"
+        )
+
+    print(f"\ndeviation vs f32+eigh at {args.size}px (units of [0,1] pixels):")
+    hdr = f"{'config':<24} {'max':>9} {'q99':>9} {'med':>9} {'psnr':>7}"
+    if args.fps:
+        hdr += f" {'fps':>7}"
+    print(hdr)
+    for name, _ in CONFIGS[1:]:
+        m = _metrics(outs[name], ref)
+        line = (f"{name:<24} {m['max']:>9.2e} {m['q99']:>9.2e} "
+                f"{m['med']:>9.2e} {m['psnr']:>7.1f}")
+        if args.fps:
+            line += f" {fps.get(name, 0.0):>7.1f}"
+        print(line)
+    if args.fps:
+        print(f"{'f32+eigh (fidelity ref)':<24} {'':>9} {'':>9} {'':>9} {'':>7}"
+              f" {fps.get('f32+eigh (fidelity ref)', 0.0):>7.1f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -16,95 +16,10 @@ import pytest
 
 from wct_tpu.models import cascade, decoder as dec_lib, vgg
 
-# ---------------------------------------------------------------------------
-# numpy reference implementation (independent of wct_tpu.ops)
-# ---------------------------------------------------------------------------
-
-
-def conv2d_reflect_np(x, w, b):
-    """x [H,W,Cin], w [kh,kw,Cin,Cout] HWIO, reflect pad, valid conv."""
-    kh = w.shape[0]
-    p = (kh - 1) // 2
-    if p:
-        x = np.pad(x, ((p, p), (p, p), (0, 0)), mode="reflect")
-    h, wd = x.shape[0] - kh + 1, x.shape[1] - kh + 1
-    out = np.zeros((h, wd, w.shape[3]), np.float64)
-    for di in range(kh):
-        for dj in range(kh):
-            out += np.tensordot(
-                x[di : di + h, dj : dj + wd, :].astype(np.float64),
-                w[di, dj].astype(np.float64),
-                axes=([2], [0]),
-            )
-    return out + b.astype(np.float64)
-
-
-def maxpool2_np(x):
-    h, w, c = x.shape
-    return x[: h // 2 * 2, : w // 2 * 2].reshape(h // 2, 2, w // 2, 2, c).max((1, 3))
-
-
-def upsample2_np(x):
-    return np.repeat(np.repeat(x, 2, axis=0), 2, axis=1)
-
-
-def encode_np(enc_params, img, target):
-    x = img.astype(np.float64)
-    for spec in vgg.layers_to(target):
-        if spec[0] == "pool":
-            x = maxpool2_np(x)
-            continue
-        _, name, *_ = spec
-        p = enc_params[name]
-        x = conv2d_reflect_np(x, np.asarray(p["w"]), np.asarray(p["b"]))
-        if spec[0] == "conv":
-            x = np.maximum(x, 0.0)
-    return x
-
-
-def decode_np(dec_params, f, target):
-    layers = dec_lib.decoder_layers(target)
-    x = f
-    for i, spec in enumerate(layers):
-        if spec[0] == "upsample":
-            x = upsample2_np(x)
-            continue
-        _, name, *_ = spec
-        p = dec_params[name]
-        x = conv2d_reflect_np(x, np.asarray(p["w"]), np.asarray(p["b"]))
-        if i != len(layers) - 1:
-            x = np.maximum(x, 0.0)
-    return x
-
-
-def wct_np(fc, fs, alpha, eps=1e-8, trunc=1e-5):
-    c = fc.shape[-1]
-    fc_flat = fc.reshape(-1, c)
-    fs_flat = fs.reshape(-1, c)
-
-    def sym_pow(flat, power):
-        mu = flat.mean(0)
-        centered = flat - mu
-        cov = centered.T @ centered / (flat.shape[0] - 1) + eps * np.eye(c)
-        s, u = np.linalg.eigh(cov)
-        s_pow = np.where(s > trunc, np.sign(s) * np.abs(s) ** power, 0.0)
-        return (u * s_pow) @ u.T, mu
-
-    w_c, mu_c = sym_pow(fc_flat, -0.5)
-    k_s, mu_s = sym_pow(fs_flat, +0.5)
-    colored = (fc_flat - mu_c) @ w_c @ k_s + mu_s
-    return (alpha * colored + (1 - alpha) * fc_flat).reshape(fc.shape)
-
-
-def cascade_np(params, content, style, alpha, targets):
-    img = content.astype(np.float64)
-    for t in targets:
-        fc = encode_np(params["encoder"], img, t)
-        fs = encode_np(params["encoder"], style, t)
-        f = wct_np(fc, fs, alpha)
-        img = decode_np(params["decoders"][t], f, t)
-    # Reference semantics: one clip before save.
-    return np.clip(img, 0.0, 1.0)
+# The numpy float64 reference implementation lives in tools/oracle.py
+# (shared with scripts/exp_fidelity_envelope.py); these tests pin the
+# JAX pipeline against it.
+from wct_tpu.tools.oracle import cascade_np, decode_np, encode_np
 
 
 # ---------------------------------------------------------------------------
