@@ -48,6 +48,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--val-path", default=None, help="validation image dir")
     p.add_argument("--synthetic", action="store_true",
                    help="procedural training images (no dataset needed)")
+    p.add_argument("--synthetic-pool", type=int, default=0,
+                   help="pre-generate this many procedural images and "
+                        "sample+augment from the pool (keeps the host "
+                        "ahead of the device; 0 = generate fresh)")
     p.add_argument("--encoder-weights", default=None,
                    help="npz with encoder params (or bundle with 'encoder'); "
                         "omit for random encoder (smoke test)")
@@ -141,7 +145,10 @@ def main(argv=None) -> None:
     if args.synthetic or not args.content_path:
         if not args.synthetic:
             print("[train] NOTE: no --content-path; using synthetic images")
-        batches = synthetic_batches(cfg.batch_size, cfg.crop_size, args.seed)
+        batches = synthetic_batches(
+            cfg.batch_size, cfg.crop_size, args.seed,
+            pool_size=args.synthetic_pool,
+        )
     else:
         paths = images.get_files(args.content_path)
         print(f"[train] {len(paths)} training images")

@@ -90,23 +90,99 @@ def batch_generator(
                 return
 
 
+def synthetic_image(
+    rng: np.random.Generator, size: int, _grids: dict = {}
+) -> np.ndarray:
+    """One procedural RGB image in [0,1] with natural-image-like variety.
+
+    Decoder training needs feature-space COVERAGE (edges at all
+    orientations, flat regions, texture, color gradients) — a pure
+    sinusoid plaid exercises only smooth low frequencies and trains
+    decoders that cannot reconstruct edges. Layers composited here:
+    plaid background + linear color gradient, 2–6 soft-edged random
+    ellipses/rectangles (step edges), occasional high-frequency
+    checker patch (texture), and low-amplitude pixel noise.
+    """
+    if size not in _grids:
+        _grids[size] = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    yy, xx = _grids[size]
+
+    f = rng.uniform(1, 10, size=(2, 3)).astype(np.float32)
+    ph = rng.uniform(0, 6.28, size=(2, 3)).astype(np.float32)
+    img = 0.5 + 0.18 * (
+        np.sin(f[0] * 6.28 * yy[:, :, None] + ph[0])
+        + np.sin(f[1] * 6.28 * xx[:, :, None] + ph[1])
+    )
+    # linear color gradient (global illumination variety)
+    g = rng.uniform(-0.3, 0.3, size=(2, 3)).astype(np.float32)
+    img += g[0] * (yy[:, :, None] - 0.5) + g[1] * (xx[:, :, None] - 0.5)
+
+    for _ in range(rng.integers(2, 7)):
+        cy, cx = rng.uniform(0.1, 0.9, 2)
+        ry, rx = rng.uniform(0.05, 0.35, 2)
+        color = rng.uniform(0, 1, 3).astype(np.float32)
+        if rng.random() < 0.5:  # soft-edged ellipse
+            d = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2
+            mask = np.clip((1.0 - d) * rng.uniform(4, 40), 0.0, 1.0)
+        else:  # soft-edged rectangle
+            sharp = rng.uniform(20, 200)
+            mask = (
+                np.clip((ry - np.abs(yy - cy)) * sharp, 0, 1)
+                * np.clip((rx - np.abs(xx - cx)) * sharp, 0, 1)
+            )
+        alpha = mask[:, :, None] * rng.uniform(0.5, 1.0)
+        img = img * (1 - alpha) + color * alpha
+
+    if rng.random() < 0.3:  # high-frequency checker patch
+        k = int(rng.integers(2, 8))
+        checker = ((yy * size // k).astype(int) + (xx * size // k).astype(int)) % 2
+        cy, cx = rng.uniform(0.2, 0.8, 2)
+        r = rng.uniform(0.1, 0.3)
+        inside = ((yy - cy) ** 2 + (xx - cx) ** 2) < r * r
+        amp = rng.uniform(0.2, 0.5)
+        img += (inside * checker * amp - inside * amp / 2)[:, :, None]
+
+    img += rng.normal(0, 0.01, img.shape).astype(np.float32)
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
 def synthetic_batches(
-    batch_size: int, crop_size: int = 256, seed: int = 0
+    batch_size: int, crop_size: int = 256, seed: int = 0,
+    pool_size: int = 0,
 ) -> Iterator[np.ndarray]:
-    """Procedural image batches — tests / smoke runs without a dataset
-    (MS-COCO is not shippable with the repo; SURVEY.md §7 blocker)."""
+    """Procedural image batches — decoder training / smoke runs without
+    a dataset (MS-COCO is not shippable with the repo; SURVEY.md §7
+    blocker). See ``synthetic_image`` for the composition.
+
+    ``pool_size > 0`` pre-generates that many images once (stored
+    uint8) and yields batches sampled from the pool with random
+    flip/rotate augmentation — fresh generation costs ~17 ms/image on
+    this host, which cannot feed the ~50 img/s TPU train step from one
+    core; pool sampling is memcpy-speed. This also mirrors the
+    reference's finite-dataset + random-crop regime (train.py:~80).
+    """
     rng = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:crop_size, 0:crop_size].astype(np.float32) / crop_size
+    if pool_size <= 0:
+        while True:
+            yield np.stack(
+                [synthetic_image(rng, crop_size) for _ in range(batch_size)]
+            )
+    pool = np.stack(
+        [
+            (synthetic_image(rng, crop_size) * 255).astype(np.uint8)
+            for _ in range(pool_size)
+        ]
+    )
     while True:
-        freqs = rng.uniform(1, 12, size=(batch_size, 2, 3)).astype(np.float32)
-        phases = rng.uniform(0, 6.28, size=(batch_size, 2, 3)).astype(np.float32)
-        imgs = 0.5 + 0.25 * (
-            np.sin(freqs[:, 0, None, None, :] * 6.28 * yy[None, :, :, None]
-                   + phases[:, 0, None, None, :])
-            + np.sin(freqs[:, 1, None, None, :] * 6.28 * xx[None, :, :, None]
-                     + phases[:, 1, None, None, :])
-        )
-        yield np.clip(imgs, 0.0, 1.0).astype(np.float32)
+        idx = rng.integers(0, pool_size, batch_size)
+        batch = pool[idx].astype(np.float32) / 255.0
+        for i in range(batch_size):
+            k = rng.integers(0, 4)
+            if k:
+                batch[i] = np.rot90(batch[i], k)
+            if rng.random() < 0.5:
+                batch[i] = batch[i][:, ::-1]
+        yield batch
 
 
 class DevicePrefetcher:
