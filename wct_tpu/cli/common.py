@@ -87,6 +87,14 @@ def add_model_flags(p: argparse.ArgumentParser) -> None:
         help="conv compute dtype (bfloat16 = throughput mode)",
     )
     p.add_argument(
+        "--conv-precision",
+        choices=["highest", "high"],
+        default="highest",
+        help="MXU pass count for float32 convs: highest = 6-pass bf16 "
+        "(true f32), high = 3-pass (~1e-6 rel err, ~2x conv speed). "
+        "Ignored for --dtype bfloat16",
+    )
+    p.add_argument(
         "--soft-trunc",
         action="store_true",
         help="continuous eigenvalue filter instead of the hard 1e-5 "
@@ -152,6 +160,7 @@ def config_from_args(args: argparse.Namespace) -> cascade.CascadeConfig:
         passes=args.passes,
         method=args.method,
         compute_dtype=args.dtype,
+        conv_precision=getattr(args, "conv_precision", "highest"),
         wct_groups=args.wct_groups,
         soft_trunc=args.soft_trunc,
         fold_transform=bool(getattr(args, "fold", None)),

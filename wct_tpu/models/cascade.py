@@ -62,6 +62,11 @@ class CascadeConfig:
     passes: int = 1
     method: wct_ops.Method = "eigh"
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    # MXU pass count for float32 convs: 'highest' = 6-pass bf16 (true
+    # f32 accuracy, the fidelity default), 'high' = 3-pass (~1e-6
+    # relative error, ~2× the conv throughput). Irrelevant when
+    # compute_dtype='bfloat16' (native single-pass MXU either way).
+    conv_precision: str = "highest"  # 'highest' | 'high'
     # The reference clips to [0,1] only before SAVING (stylize.py:~150);
     # mid-cascade the decoded image flows unclipped into the next
     # level's encoder. False = reference semantics (final clip only);
@@ -136,6 +141,8 @@ class CascadeConfig:
             raise ValueError(f"passes must be >= 1, got {self.passes}")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"compute_dtype {self.compute_dtype!r}")
+        if self.conv_precision not in ("highest", "high"):
+            raise ValueError(f"conv_precision {self.conv_precision!r}")
         if self.method not in (
             "eigh", "newton_schulz", "newton_schulz_fast",
             "newton_schulz_pallas", "auto",
@@ -165,6 +172,14 @@ class CascadeConfig:
     @property
     def dtype(self):
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+    @property
+    def lax_precision(self):
+        return (
+            jax.lax.Precision.HIGH
+            if self.conv_precision == "high"
+            else jax.lax.Precision.HIGHEST
+        )
 
 
 @jax.tree_util.register_dataclass
@@ -207,7 +222,8 @@ def precompute_style(
     (this is the hot path of live style switching, BASELINE config 5).
     """
     feats = vgg.encode_multi(
-        encoder_params, style_img[None].astype(cfg.dtype), cfg.relu_targets
+        encoder_params, style_img[None].astype(cfg.dtype), cfg.relu_targets,
+        precision=cfg.lax_precision,
     )
     cache: StyleCache = {}
     for level in cfg.relu_targets:
@@ -355,13 +371,18 @@ def stylize_fn(
 
                         p1 = junction_pallas.encoder_head(*head_args)
                     feats = vgg.encode_from_pool1(
-                        params["encoder"], p1, level
+                        params["encoder"], p1, level,
+                        precision=cfg.lax_precision,
                     )
                 else:
-                    feats = vgg.encode(params["encoder"], state_val, level)
+                    feats = vgg.encode(
+                        params["encoder"], state_val, level,
+                        precision=cfg.lax_precision,
+                    )
             elif state_kind == "pooled":
                 feats = vgg.encode_from_pool1(
-                    params["encoder"], state_val, level
+                    params["encoder"], state_val, level,
+                    precision=cfg.lax_precision,
                 )
             else:  # 'e1' — the junction already produced relu1_1 features
                 feats = state_val
@@ -396,7 +417,8 @@ def stylize_fn(
                         )
                     )(feats)
                 out = dec_lib.decode_folded(
-                    params["decoders"][level], feats, level, m, bias
+                    params["decoders"][level], feats, level, m, bias,
+                    precision=cfg.lax_precision,
                 )
                 if cfg.clip_between_levels:
                     out = jnp.clip(out, 0.0, 1.0)
@@ -456,7 +478,9 @@ def stylize_fn(
             if use_pallas_j or use_pack2_j:
                 dec_p = params["decoders"][level]
                 enc = params["encoder"]
-                d = dec_lib.decode_partial(dec_p, transformed, level)
+                d = dec_lib.decode_partial(
+                    dec_p, transformed, level, precision=cfg.lax_precision
+                )
                 deep = nxt != "relu1_1"
                 j_args = (
                     d,
@@ -480,7 +504,8 @@ def stylize_fn(
                 state_kind, state_val = ("pooled" if deep else "e1"), out
             else:
                 out = dec_lib.decode(
-                    params["decoders"][level], transformed, level
+                    params["decoders"][level], transformed, level,
+                    precision=cfg.lax_precision,
                 )
                 if cfg.clip_between_levels:
                     out = jnp.clip(out, 0.0, 1.0)

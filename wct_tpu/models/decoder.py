@@ -63,17 +63,20 @@ def init_decoder_params(
     return params
 
 
-def decode(params: dict, f: jax.Array, target: str) -> jax.Array:
+def decode(
+    params: dict, f: jax.Array, target: str, precision=None
+) -> jax.Array:
     """Decode features ``[B, h, w, C]`` at ``target`` back to ``[B, H, W, 3]``.
 
     Output is raw (unclipped) RGB in ≈[0, 1]; callers clip
     (reference clips in stylize.py before save).
     """
-    return _decode(params, f, decoder_layers(target), start=0)
+    return _decode(params, f, decoder_layers(target), start=0, precision=precision)
 
 
 def decode_folded(
-    params: dict, f: jax.Array, target: str, m: jax.Array, bias: jax.Array
+    params: dict, f: jax.Array, target: str, m: jax.Array, bias: jax.Array,
+    precision=None,
 ) -> jax.Array:
     """Decode with a per-image affine folded into the first conv.
 
@@ -98,7 +101,7 @@ def decode_folded(
     x = conv2d_reflect_perimage(f, w_fold, b_fold)
     if len(layers) > 1:  # final conv is linear (reference model.py:~135)
         x = jax.nn.relu(x)
-    return _decode(params, x, layers, start=1)
+    return _decode(params, x, layers, start=1, precision=precision)
 
 
 def fold_affine_into_conv(
@@ -138,7 +141,9 @@ def has_standard_tail(target: str) -> bool:
     )
 
 
-def decode_partial(params: dict, f: jax.Array, target: str) -> jax.Array:
+def decode_partial(
+    params: dict, f: jax.Array, target: str, precision=None
+) -> jax.Array:
     """Run the decoder UP TO (excluding) its final [upsample, conv,
     conv] tail; the fused junction kernel finishes the job. Every conv
     here gets a ReLU (none is the final linear conv)."""
@@ -151,7 +156,7 @@ def decode_partial(params: dict, f: jax.Array, target: str) -> jax.Array:
             continue
         _, name, *_ = spec
         p = params[name]
-        x = jax.nn.relu(conv2d_reflect(x, p["w"], p["b"]))
+        x = jax.nn.relu(conv2d_reflect(x, p["w"], p["b"], precision=precision))
     return x
 
 
@@ -166,7 +171,9 @@ def tail_weights(params: dict, target: str) -> tuple:
     )
 
 
-def _decode(params: dict, x: jax.Array, layers: tuple, start: int) -> jax.Array:
+def _decode(
+    params: dict, x: jax.Array, layers: tuple, start: int, precision=None
+) -> jax.Array:
     last = len(layers) - 1
     for i in range(start, len(layers)):
         spec = layers[i]
@@ -175,7 +182,7 @@ def _decode(params: dict, x: jax.Array, layers: tuple, start: int) -> jax.Array:
             continue
         _, name, *_ = spec
         p = params[name]
-        x = conv2d_reflect(x, p["w"], p["b"])
+        x = conv2d_reflect(x, p["w"], p["b"], precision=precision)
         if i != last:
             x = jax.nn.relu(x)
     return x

@@ -110,9 +110,11 @@ def init_encoder_params(
     return params
 
 
-def encode(params: dict, x: jax.Array, target: str) -> jax.Array:
+def encode(
+    params: dict, x: jax.Array, target: str, precision=None
+) -> jax.Array:
     """Encode images ``[B, H, W, 3]`` (RGB in [0,1]) to ``target`` features."""
-    return encode_multi(params, x, (target,))[target]
+    return encode_multi(params, x, (target,), precision=precision)[target]
 
 
 _POOL1_IDX = next(
@@ -120,7 +122,9 @@ _POOL1_IDX = next(
 )
 
 
-def encode_from_pool1(params: dict, x: jax.Array, target: str) -> jax.Array:
+def encode_from_pool1(
+    params: dict, x: jax.Array, target: str, precision=None
+) -> jax.Array:
     """Resume encoding from the post-pool1 state (``x [B, H/2, W/2, 64]``).
 
     Used with the fused junction kernel (ops/junction_pallas.py), which
@@ -136,12 +140,12 @@ def encode_from_pool1(params: dict, x: jax.Array, target: str) -> jax.Array:
             continue
         _, name, *_ = spec
         p = params[name]
-        x = jax.nn.relu(conv2d_reflect(x, p["w"], p["b"]))
+        x = jax.nn.relu(conv2d_reflect(x, p["w"], p["b"], precision=precision))
     return x
 
 
 def encode_multi(
-    params: dict, x: jax.Array, targets: tuple[str, ...]
+    params: dict, x: jax.Array, targets: tuple[str, ...], precision=None
 ) -> dict[str, jax.Array]:
     """One trunk pass, returning every requested relu target's features.
 
@@ -158,7 +162,7 @@ def encode_multi(
             continue
         _, name, *_ = spec
         p = params[name]
-        x = conv2d_reflect(x, p["w"], p["b"])
+        x = conv2d_reflect(x, p["w"], p["b"], precision=precision)
         if kind == "conv":  # conv0 (conv_pre) is linear
             x = jax.nn.relu(x)
         if i in want:

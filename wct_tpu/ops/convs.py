@@ -27,7 +27,12 @@ def pad_reflect(x: jax.Array, pad: int = 1) -> jax.Array:
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
 
 
-def conv2d_reflect(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+def conv2d_reflect(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+    precision: jax.lax.Precision | None = None,
+) -> jax.Array:
     """Reflect-pad + VALID conv + bias — reference ``Conv2DReflect``.
 
     Kernel spatial size is read from ``w``; 1×1 convs skip padding.
@@ -37,20 +42,23 @@ def conv2d_reflect(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     kh, kw = w.shape[0], w.shape[1]
     assert kh == kw, "square kernels only"
     x = pad_reflect(x, (kh - 1) // 2)
-    # Precision.HIGHEST keeps float32 inputs at true f32 multiply
-    # accuracy (fidelity mode); bf16 inputs are unaffected — they hit
-    # the MXU natively (which accumulates f32 internally), the
-    # throughput mode (CascadeConfig.compute_dtype). Output dtype ==
-    # input dtype: upcasting via preferred_element_type breaks the
-    # BACKWARD conv under bf16 training (f32 cotangent × bf16 filter is
-    # a dtype mismatch in the transpose rule).
+    # Default Precision.HIGHEST keeps float32 inputs at true f32
+    # multiply accuracy (6-pass bf16 on the MXU — fidelity mode);
+    # Precision.HIGH (3 passes, ~1e-6 relative error) is the middle
+    # throughput option (CascadeConfig.conv_precision='high'). bf16
+    # inputs are unaffected either way — they hit the MXU natively
+    # (which accumulates f32 internally), the throughput mode
+    # (CascadeConfig.compute_dtype). Output dtype == input dtype:
+    # upcasting via preferred_element_type breaks the BACKWARD conv
+    # under bf16 training (f32 cotangent × bf16 filter is a dtype
+    # mismatch in the transpose rule).
     out = jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(1, 1),
         padding="VALID",
         dimension_numbers=_DN,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision or jax.lax.Precision.HIGHEST,
     )
     return out + b.astype(out.dtype)
 
