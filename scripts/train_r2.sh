@@ -1,0 +1,58 @@
+#!/usr/bin/env bash
+# Round-2 end-to-end training run (VERDICT r1, next-round item 5):
+# stand-in encoder npz → five decoders trained to convergence on
+# procedural pool data → bundle → eval (reconstruction PSNR + sample
+# stylizations). Real VGG weights remain unobtainable (no network,
+# empty reference mount), so the encoder is the documented stand-in;
+# the decoders genuinely invert it, which exercises the ENTIRE
+# train→bundle→stylize→stream loop the reference's users exercised.
+#
+#   OUT=ckpt_r2 BATCH=16 POOL=1024 bash scripts/train_r2.sh
+set -euo pipefail
+
+OUT=${OUT:-ckpt_r2}
+SIZE=${SIZE:-256}
+BATCH=${BATCH:-16}
+POOL=${POOL:-1024}
+mkdir -p "$OUT"
+
+if [[ ! -f "$OUT/encoder.npz" ]]; then
+  # The SAME encoder weights every decoder trains against and the
+  # bundle ships (seeded, reproducible).
+  python - <<PY
+import jax
+from wct_tpu.models import vgg
+from wct_tpu.train import checkpoint
+checkpoint.save_pytree("$OUT/encoder.npz",
+                       {"encoder": vgg.init_encoder_params(jax.random.PRNGKey(0))})
+print("encoder saved -> $OUT/encoder.npz")
+PY
+fi
+
+# Shallow decoders (few layers) converge quickly; deeper ones get more
+# steps. Override per level: ITER_relu3_1=20000 etc.
+declare -A ITERS=(
+  [relu1_1]=${ITER_relu1_1:-6000}
+  [relu2_1]=${ITER_relu2_1:-8000}
+  [relu3_1]=${ITER_relu3_1:-10000}
+  [relu4_1]=${ITER_relu4_1:-12000}
+  [relu5_1]=${ITER_relu5_1:-12000}
+)
+
+decoder_args=()
+for t in relu1_1 relu2_1 relu3_1 relu4_1 relu5_1; do
+  echo "=== training decoder for $t (${ITERS[$t]} iters) ==="
+  python -m wct_tpu.cli.train --relu-target "$t" \
+    --synthetic --synthetic-pool "$POOL" \
+    --encoder-weights "$OUT/encoder.npz" \
+    --checkpoint-dir "$OUT/$t" --resume \
+    --batch-size "$BATCH" --crop-size "$SIZE" \
+    --max-iter "${ITERS[$t]}" --save-iter 2000 --summary-iter 200
+  decoder_args+=(--decoder "$t=$OUT/$t/decoder_$t.npz")
+done
+
+python -m wct_tpu.tools.make_bundle --encoder "$OUT/encoder.npz" \
+  "${decoder_args[@]}" "$OUT/bundle.npz"
+echo "bundle ready: $OUT/bundle.npz"
+
+python scripts/eval_bundle.py "$OUT/bundle.npz" --out-dir "$OUT/samples"
