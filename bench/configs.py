@@ -134,6 +134,34 @@ def main() -> None:
     record("5_stream_720p", fps=pipelined_fps(fn, frames, rounds),
            style_switch_ms=style_switch_ms)
 
+    # ---- config 5 (engine): true host-in → host-out streaming ----
+    # The number a user's webcam loop actually sees: numpy frame in,
+    # numpy frame out INCLUDING the D2H readback — in strict per-frame
+    # mode and in submit-ahead/sync-behind pipelined mode (uint8
+    # on-device quantization, ¼ the D2H bytes).
+    from wct_tpu.utils.stream import StreamStylizer
+
+    host_frames = [
+        rng.random((720, 1280, 3)).astype(np.float32) for _ in range(12)
+    ]
+    eng = StreamStylizer(params, cfg, 720, 1280, readback="uint8")
+    eng.set_style(np.asarray(style_v))
+    eng.process(host_frames[0])  # warm/compile
+    t0 = time.perf_counter()
+    for f in host_frames:
+        eng.process(f)
+    strict_fps = len(host_frames) / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    n_out = 0
+    for f in host_frames:
+        if eng.process_pipelined(f) is not None:
+            n_out += 1
+    while eng.collect() is not None:
+        n_out += 1
+    piped_fps = n_out / (time.perf_counter() - t0)
+    record("5_stream_720p_engine_host_io", strict_fps=strict_fps,
+           pipelined_fps=piped_fps)
+
     log("summary: " + json.dumps(results))
 
 

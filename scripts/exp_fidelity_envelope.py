@@ -127,6 +127,16 @@ def main() -> None:
             fps[name] = pipelined_fps(fn, batches)
 
     ref = outs["f32+eigh (fidelity ref)"]
+    saturated = float(np.mean((ref == 0.0) | (ref == 1.0)))
+    if saturated > 0.9:
+        print(
+            f"\nWARNING: {saturated:.0%} of reference pixels sit exactly at "
+            "the clip boundary — the pre-clip values are far out of range "
+            "(untrained decoders amplify through the cascade), so every "
+            "config agrees on the SIGN and the deviation table below is "
+            "VACUOUSLY zero. Re-run with --weights <trained bundle>; "
+            "measured r2: random weights saturate 100% at 512px.",
+        )
 
     # float64 oracle envelope at a CPU-tractable size
     env = None

@@ -547,3 +547,61 @@ class TestPack2Junction:
             cascade.CascadeConfig(pack2_junction=True, fuse_junction=True)
         with pytest.raises(ValueError, match="mutually exclusive"):
             cascade.CascadeConfig(pack2_junction=True, fold_transform=True)
+
+    def test_packed_tail_single_level_relu1_1(self, params, imgs):
+        """head_pack2_shallow + tail_pack2 on a relu1_1-only cascade ≡
+        the unpacked path (per-image stats from the packed Gram's
+        diagonal blocks; α-blended transform as a block-diag matmul)."""
+        import dataclasses
+
+        content, style = imgs
+        cfg = cascade.CascadeConfig(
+            relu_targets=("relu1_1",), pack2_junction=True
+        )
+        cfg_off = dataclasses.replace(cfg, pack2_junction=False)
+        cache = cascade.precompute_style(
+            params["encoder"], jnp.asarray(style), cfg
+        )
+        rng = np.random.default_rng(5)
+        c = jnp.asarray(
+            rng.random((2,) + content.shape[1:]), jnp.float32
+        )  # two DISTINCT images — packing must not mix the pair
+        on = cascade.stylize(params, c, cache, 0.6, cfg)
+        off = cascade.stylize(params, c, cache, 0.6, cfg_off)
+        assert float(jnp.max(jnp.abs(on - off))) < 2e-2
+
+    def test_packed_tail_adain_mode(self, params, imgs):
+        import dataclasses
+
+        content, style = imgs
+        cfg = cascade.CascadeConfig(
+            relu_targets=("relu2_1", "relu1_1"), pack2_junction=True,
+            transform="adain",
+        )
+        cfg_off = dataclasses.replace(cfg, pack2_junction=False)
+        cache = cascade.precompute_style(
+            params["encoder"], jnp.asarray(style), cfg
+        )
+        c = jnp.concatenate([jnp.asarray(content)] * 2)
+        on = cascade.stylize(params, c, cache, 0.7, cfg)
+        off = cascade.stylize(params, c, cache, 0.7, cfg_off)
+        assert float(jnp.max(jnp.abs(on - off))) < 2e-2
+
+    def test_packed_tail_grouped_falls_back(self, params, imgs):
+        """wct_groups > 1 keeps the unpacked relu1_1 path (and still
+        matches the no-pack2 config)."""
+        import dataclasses
+
+        content, style = imgs
+        cfg = cascade.CascadeConfig(
+            relu_targets=("relu2_1", "relu1_1"), pack2_junction=True,
+            wct_groups=2,
+        )
+        cfg_off = dataclasses.replace(cfg, pack2_junction=False)
+        cache = cascade.precompute_style(
+            params["encoder"], jnp.asarray(style), cfg
+        )
+        c = jnp.concatenate([jnp.asarray(content)] * 2)
+        on = cascade.stylize(params, c, cache, 0.7, cfg)
+        off = cascade.stylize(params, c, cache, 0.7, cfg_off)
+        assert float(jnp.max(jnp.abs(on - off))) < 2e-2

@@ -349,9 +349,44 @@ def stylize_fn(
         cfg.fuse_junction and (h + pad_h) % 16 == 0 and (w + pad_w) % 16 == 0
     )
     pack2_ok = cfg.pack2_junction and b % 2 == 0
+    # Packed relu1_1 tail (ops/pack2.py::tail_pack2): per-image stats,
+    # the α-blended transform AND the final 64→3 conv all run on the
+    # [B/2, ..., 128] packed pair — no 64→128 lane-padding copies.
+    # Grouped WCT keeps the unpacked path (block-diag-of-block-diag is
+    # not worth the plumbing).
+    pack_tail_ok = pack2_ok and cfg.wct_groups == 1
     state_kind, state_val = "img", img
     for _ in range(cfg.passes):
         for li, level in enumerate(cfg.relu_targets):
+            if (
+                level == "relu1_1"
+                and pack_tail_ok
+                and state_kind in ("img", "e1p")
+                and len(dec_lib.decoder_layers(level)) == 1
+            ):
+                from wct_tpu.ops import pack2
+
+                enc = params["encoder"]
+                if state_kind == "img":
+                    e1p = pack2.head_pack2_shallow(
+                        state_val,
+                        enc["conv0"]["w"], enc["conv0"]["b"],
+                        enc["conv1_1"]["w"], enc["conv1_1"]["b"],
+                    )
+                else:
+                    e1p = state_val
+                style = style_cache[level]
+                _, dname, *_ = dec_lib.decoder_layers(level)[0]
+                dp = params["decoders"][level][dname]
+                out = pack2.tail_pack2(
+                    e1p, style.stats, alpha, dp["w"], dp["b"],
+                    transform=cfg.transform, adain_stats=style.adain,
+                    method=cfg.method, soft_trunc=cfg.soft_trunc,
+                )
+                if cfg.clip_between_levels:
+                    out = jnp.clip(out, 0.0, 1.0)
+                state_kind, state_val = "img", out
+                continue
             if state_kind == "img":
                 if (junction_ok or pack2_ok) and level != "relu1_1":
                     # fused/packed encoder head: conv0∘conv1_1+conv1_2+pool1
@@ -384,6 +419,10 @@ def stylize_fn(
                     params["encoder"], state_val, level,
                     precision=cfg.lax_precision,
                 )
+            elif state_kind == "e1p":  # packed relu1_1 features, tail
+                from wct_tpu.ops import pack2  # handler not applicable
+
+                feats = pack2.unpack(state_val)
             else:  # 'e1' — the junction already produced relu1_1 features
                 feats = state_val
             style = style_cache[level]
@@ -492,16 +531,29 @@ def stylize_fn(
                 if use_pack2_j:
                     from wct_tpu.ops import pack2
 
-                    out = pack2.junction_pack2(
-                        *j_args, deep=deep, clip=cfg.clip_between_levels
+                    # Keep relu1_1 features PACKED when the packed tail
+                    # will consume them (nxt == relu1_1 and the tail
+                    # handler's static conditions hold).
+                    keep_packed = (
+                        not deep
+                        and pack_tail_ok
+                        and len(dec_lib.decoder_layers("relu1_1")) == 1
                     )
+                    out = pack2.junction_pack2(
+                        *j_args, deep=deep, clip=cfg.clip_between_levels,
+                        unpack_out=not keep_packed,
+                    )
+                    state_kind = (
+                        "pooled" if deep else ("e1p" if keep_packed else "e1")
+                    )
+                    state_val = out
                 else:
                     from wct_tpu.ops import junction_pallas
 
                     out = junction_pallas.junction(
                         *j_args, deep=deep, clip=cfg.clip_between_levels
                     )
-                state_kind, state_val = ("pooled" if deep else "e1"), out
+                    state_kind, state_val = ("pooled" if deep else "e1"), out
             else:
                 out = dec_lib.decode(
                     params["decoders"][level], transformed, level,
