@@ -605,3 +605,47 @@ class TestPack2Junction:
         on = cascade.stylize(params, c, cache, 0.7, cfg)
         off = cascade.stylize(params, c, cache, 0.7, cfg_off)
         assert float(jnp.max(jnp.abs(on - off))) < 2e-2
+
+
+class TestNsIters:
+    """Per-level Newton-Schulz iteration override (CascadeConfig.ns_iters)."""
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="ns_iters"):
+            cascade.CascadeConfig(ns_iters=0)
+        with pytest.raises(ValueError, match="ns_iters"):
+            cascade.CascadeConfig(ns_iters=(("relu9_9", 8),))
+        cascade.CascadeConfig(ns_iters=10)
+        cfg = cascade.CascadeConfig(ns_iters=(("relu5_1", 12), ("relu1_1", 8)))
+        assert cfg.ns_iters_for("relu5_1") == 12
+        assert cfg.ns_iters_for("relu1_1") == 8
+        assert cfg.ns_iters_for("relu3_1") is None
+
+    def test_high_iters_matches_default(self, params, imgs):
+        """ns_iters≥default converges to the same fixed point: outputs of
+        the 14-iter default and an 18-iter override agree closely."""
+        import dataclasses
+
+        content, style = imgs
+        cfg = cascade.CascadeConfig(
+            relu_targets=("relu2_1", "relu1_1"), method="newton_schulz"
+        )
+        cfg18 = dataclasses.replace(cfg, ns_iters=18)
+        cache = cascade.precompute_style(
+            params["encoder"], jnp.asarray(style), cfg
+        )
+        c = jnp.asarray(content)
+        base = cascade.stylize(params, c, cache, 0.7, cfg)
+        more = cascade.stylize(params, c, cache, 0.7, cfg18)
+        assert float(jnp.max(jnp.abs(base - more))) < 5e-2
+
+    def test_cli_parse(self):
+        from wct_tpu.cli.common import _parse_ns_iters
+
+        assert _parse_ns_iters(None) is None
+        assert _parse_ns_iters("10") == 10
+        assert _parse_ns_iters("relu5_1=12,relu1_1=8") == (
+            ("relu5_1", 12), ("relu1_1", 8)
+        )
+        with pytest.raises(SystemExit):
+            _parse_ns_iters("abc")

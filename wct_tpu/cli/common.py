@@ -109,6 +109,14 @@ def add_model_flags(p: argparse.ArgumentParser) -> None:
         "independent groups (1 = exact reference WCT)",
     )
     p.add_argument(
+        "--ns-iters",
+        default=None,
+        help="Newton-Schulz iteration override for the content-side "
+        "whitening solve: an int for every level ('10') or per-level "
+        "pairs ('relu5_1=12,relu1_1=8'; unlisted levels keep the "
+        "default 14). Ignored by eigh",
+    )
+    p.add_argument(
         "--preset",
         choices=["fidelity", "balanced", "throughput"],
         default=None,
@@ -128,6 +136,30 @@ def add_model_flags(p: argparse.ArgumentParser) -> None:
         "TPU v5e (XLA lowers batch_group_count convs ~4x slower than "
         "shared-weight convs), so no preset enables it",
     )
+
+
+def _parse_ns_iters(spec):
+    """'10' → 10; 'relu5_1=12,relu1_1=8' → (('relu5_1', 12), ('relu1_1', 8))."""
+    if spec is None or spec == "":
+        return None
+    s = str(spec)
+    if "=" not in s:
+        try:
+            return int(s)
+        except ValueError:
+            raise SystemExit(
+                f"--ns-iters: expected an int or 'reluN_1=K,...', got {s!r}"
+            )
+    pairs = []
+    for part in s.split(","):
+        if "=" not in part:
+            raise SystemExit(f"--ns-iters: bad pair {part!r} in {s!r}")
+        target, _, val = part.partition("=")
+        try:
+            pairs.append((target.strip(), int(val)))
+        except ValueError:
+            raise SystemExit(f"--ns-iters: bad count in {part!r}")
+    return tuple(pairs)
 
 
 # (dtype, method, fold, pack2)
@@ -163,6 +195,7 @@ def config_from_args(args: argparse.Namespace) -> cascade.CascadeConfig:
         conv_precision=getattr(args, "conv_precision", "highest"),
         wct_groups=args.wct_groups,
         soft_trunc=args.soft_trunc,
+        ns_iters=_parse_ns_iters(getattr(args, "ns_iters", None)),
         fold_transform=bool(getattr(args, "fold", None)),
         pack2_junction=preset_pack2,
     )

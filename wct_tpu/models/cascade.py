@@ -77,6 +77,15 @@ class CascadeConfig:
     # input noise (e.g. batch-shape-dependent XLA conv fusion) causes on
     # rank-deficient Grams. False = exact reference semantics.
     soft_trunc: bool = False
+    # Newton–Schulz iteration count override for the CONTENT-side
+    # whitening solve (the per-frame hot path; style-side stats keep
+    # the convergence-safe default since they run once per style).
+    # None = sqrtm.DEFAULT_ITERS (14, tuned for C=512 at 512px).
+    # An int applies to every level; a tuple of ("reluN_1", iters)
+    # pairs overrides per level (unlisted levels keep the default) —
+    # NS needs ~log(κ) iterations, so shallow levels' smaller, better-
+    # conditioned covariances converge in fewer. Ignored by eigh.
+    ns_iters: int | tuple[tuple[str, int], ...] | None = None
     # Grouped (block-diagonal) WCT: channels split into wct_groups
     # independent groups per level (AdaWCT/PhotoWCT²-style). 1 = exact
     # reference behavior; >1 trades coupling across channel groups for
@@ -162,12 +171,34 @@ class CascadeConfig:
                 "(the junction kernel replaces the decoder tail the fold "
                 "would rewrite)"
             )
+        if self.ns_iters is not None and not isinstance(self.ns_iters, int):
+            for pair in self.ns_iters:
+                if (
+                    not isinstance(pair, tuple) or len(pair) != 2
+                    or pair[0] not in vgg.RELU_TARGETS
+                    or not isinstance(pair[1], int)
+                ):
+                    raise ValueError(
+                        "ns_iters must be None, an int, or a tuple of "
+                        f"('reluN_1', iters) pairs; got {self.ns_iters!r}"
+                    )
+        if isinstance(self.ns_iters, int) and self.ns_iters < 1:
+            raise ValueError(f"ns_iters must be >= 1, got {self.ns_iters}")
         if self.pack2_junction and (self.fuse_junction or self.fold_transform):
             raise ValueError(
                 "pack2_junction is mutually exclusive with fuse_junction "
                 "and fold_transform (all three rewrite the same decoder "
                 "tail / encoder head segment)"
             )
+
+    def ns_iters_for(self, level: str) -> int | None:
+        """The content-side NS iteration override for one cascade level."""
+        if self.ns_iters is None or isinstance(self.ns_iters, int):
+            return self.ns_iters
+        for target, iters in self.ns_iters:
+            if target == level:
+                return iters
+        return None
 
     @property
     def dtype(self):
@@ -292,7 +323,8 @@ def _transform_level(
     """Apply the configured feature transform to ONE image's features."""
     if cfg.swap5 and level == "relu5_1":
         w_c, mu_c = wct_ops.whitening_kernel(
-            fc, method=cfg.method, soft_trunc=cfg.soft_trunc
+            fc, method=cfg.method, soft_trunc=cfg.soft_trunc,
+            ns_iters=cfg.ns_iters_for(level),
         )
         h, w, c = fc.shape
         flat = fc.reshape(h * w, c).astype(jnp.float32)
@@ -310,7 +342,7 @@ def _transform_level(
         return adain_ops.adain_from_stats(fc, style.adain, alpha)
     return wct_ops.wct_from_stats(
         fc, style.stats, alpha, method=cfg.method, groups=cfg.wct_groups,
-        soft_trunc=cfg.soft_trunc,
+        soft_trunc=cfg.soft_trunc, ns_iters=cfg.ns_iters_for(level),
     )
 
 
@@ -382,6 +414,7 @@ def stylize_fn(
                     e1p, style.stats, alpha, dp["w"], dp["b"],
                     transform=cfg.transform, adain_stats=style.adain,
                     method=cfg.method, soft_trunc=cfg.soft_trunc,
+                    ns_iters=cfg.ns_iters_for(level),
                 )
                 if cfg.clip_between_levels:
                     out = jnp.clip(out, 0.0, 1.0)
@@ -453,6 +486,7 @@ def stylize_fn(
                         lambda f: wct_ops.wct_transform(
                             f, style.stats, alpha, method=cfg.method,
                             groups=cfg.wct_groups, soft_trunc=cfg.soft_trunc,
+                            ns_iters=cfg.ns_iters_for(level),
                         )
                     )(feats)
                 out = dec_lib.decode_folded(
@@ -485,6 +519,7 @@ def stylize_fn(
                         lambda f: wct_ops.wct_transform(
                             f, style.stats, alpha, method=cfg.method,
                             groups=cfg.wct_groups, soft_trunc=cfg.soft_trunc,
+                            ns_iters=cfg.ns_iters_for(level),
                         )
                     )(feats)
                 dec_p = params["decoders"][level]

@@ -141,6 +141,7 @@ def tail_pack2(
     trunc: float = 1e-5,
     method: str = "eigh",
     soft_trunc: bool = False,
+    ns_iters: int | None = None,
 ) -> jax.Array:
     """The relu1_1 level on PACKED features: WCT/AdaIN apply + final conv.
 
@@ -202,7 +203,8 @@ def tail_pack2(
                 cov_i = cov[i * c : (i + 1) * c, i * c : (i + 1) * c] + eps * eye
                 mu_i = mean[i * c : (i + 1) * c]
                 w_i = wct_ops._sqrt_kernels(
-                    cov_i, -0.5, trunc, method, soft=soft_trunc
+                    cov_i, -0.5, trunc, method, soft=soft_trunc,
+                    ns_iters=ns_iters,
                 )
                 t_i = jax.lax.dot_general(
                     w_i, k_s,

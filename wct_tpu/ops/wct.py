@@ -172,13 +172,17 @@ def _gram(f_flat: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def _sqrt_kernels(
     cov: jax.Array, power: float, trunc: float, method: Method,
-    soft: bool = False,
+    soft: bool = False, ns_iters: int | None = None,
 ) -> jax.Array:
     """cov^{power} for power = ±1/2 with the selected eigensolver.
 
     ``soft`` selects the continuous truncation filter (see _sym_pow);
     the Newton–Schulz paths are inherently smooth (their ``reg``
     spectrum floor is continuous), so ``soft`` only affects eigh.
+    ``ns_iters`` overrides the Newton–Schulz iteration count (default
+    ``sqrtm.DEFAULT_ITERS``; ignored by eigh) — NS needs ~log(κ)
+    iterations, so small/well-conditioned covariances (shallow cascade
+    levels) converge in fewer than the C=512 default.
     """
     if method == "auto":
         method = "eigh" if cov.shape[-1] <= _AUTO_EIGH_MAX_C else "newton_schulz"
@@ -191,6 +195,7 @@ def _sqrt_kernels(
         use_pallas = method == "newton_schulz_pallas"
         sq, inv = sqrtm.newton_schulz_sqrtm(
             cov,
+            num_iters=sqrtm.DEFAULT_ITERS if ns_iters is None else ns_iters,
             use_pallas=use_pallas,
             precision=_NS_PRECISION.get(method, jax.lax.Precision.HIGHEST),
         )
@@ -206,6 +211,7 @@ def whitening_kernel(
     method: Method = "eigh",
     groups: int = 1,
     soft_trunc: bool = False,
+    ns_iters: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Whitening matrix + mean for content features ``fc: [H, W, C]``.
 
@@ -217,12 +223,16 @@ def whitening_kernel(
     if groups == 1:
         cov, mean = _gram(f_flat)
         cov = cov + eps * jnp.eye(cov.shape[0], dtype=cov.dtype)
-        return _sqrt_kernels(cov, -0.5, trunc, method, soft=soft_trunc), mean
+        return _sqrt_kernels(
+            cov, -0.5, trunc, method, soft=soft_trunc, ns_iters=ns_iters
+        ), mean
     covs, mean = _grouped_gram(f_flat, groups)
     cg = covs.shape[-1]
     covs = covs + eps * jnp.eye(cg, dtype=covs.dtype)[None]
     kernel = jax.vmap(
-        lambda c: _sqrt_kernels(c, -0.5, trunc, method, soft=soft_trunc)
+        lambda c: _sqrt_kernels(
+            c, -0.5, trunc, method, soft=soft_trunc, ns_iters=ns_iters
+        )
     )(covs)
     return kernel, mean
 
@@ -402,6 +412,7 @@ def wct_transform(
     method: Method = "eigh",
     groups: int = 1,
     soft_trunc: bool = False,
+    ns_iters: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """The WCT as an explicit per-image affine: ``(M [C, C], bias [C])``.
 
@@ -417,7 +428,7 @@ def wct_transform(
     c = fc.shape[-1]
     w_c, mu_c = whitening_kernel(
         fc, eps=eps, trunc=trunc, method=method, groups=groups,
-        soft_trunc=soft_trunc,
+        soft_trunc=soft_trunc, ns_iters=ns_iters,
     )
     k_s = stats.kernel.astype(jnp.float32)
     if w_c.ndim != k_s.ndim:
@@ -468,6 +479,7 @@ def wct_from_stats(
     method: Method = "eigh",
     groups: int = 1,
     soft_trunc: bool = False,
+    ns_iters: int | None = None,
 ) -> jax.Array:
     """Apply WCT to content features [H, W, C] given cached style stats.
 
@@ -498,7 +510,7 @@ def wct_from_stats(
 
     w_c, mu_c = whitening_kernel(
         fc, eps=eps, trunc=trunc, method=method, groups=groups,
-        soft_trunc=soft_trunc,
+        soft_trunc=soft_trunc, ns_iters=ns_iters,
     )
     k_s = stats.kernel.astype(jnp.float32)
     if w_c.ndim != k_s.ndim:
