@@ -42,10 +42,14 @@ declare -A ITERS=(
 decoder_args=()
 for t in relu1_1 relu2_1 relu3_1 relu4_1 relu5_1; do
   echo "=== training decoder for $t (${ITERS[$t]} iters) ==="
+  # --feature-norm: the stand-in encoder's O(100) features would
+  # otherwise swamp the pixel term ~6e4:1 (measured step-3000 r2:
+  # feature 3.1e6 vs pixel 48) and the decoder would barely learn
+  # pixel reconstruction.
   python -m wct_tpu.cli.train --relu-target "$t" \
     --synthetic --synthetic-pool "$POOL" \
     --encoder-weights "$OUT/encoder.npz" \
-    --checkpoint-dir "$OUT/$t" --resume \
+    --checkpoint-dir "$OUT/$t" --resume --feature-norm \
     --batch-size "$BATCH" --crop-size "$SIZE" \
     --max-iter "${ITERS[$t]}" --save-iter 2000 --summary-iter 200
   decoder_args+=(--decoder "$t=$OUT/$t/decoder_$t.npz")

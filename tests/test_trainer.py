@@ -262,3 +262,40 @@ def test_prefetcher_propagates_producer_errors():
     next(pf)
     with pytest.raises(ValueError, match="no training images"):
         next(pf)
+
+
+def test_feature_norm_scale_free(enc_params):
+    """feature_norm divides the feature L2 by the target features' power:
+    the normalized term is (near-)invariant to rescaling the encoder's
+    output magnitude, where the raw term scales quadratically."""
+    import dataclasses
+
+    from wct_tpu.models import vgg as vgg_lib
+
+    state = init_train_state(jax.random.PRNGKey(2), CFG)
+    batch = jnp.asarray(next(synthetic_batches(CFG.batch_size, CFG.crop_size)))
+    cfg_n = dataclasses.replace(CFG, feature_norm=True)
+    _, raw = reconstruction_loss(state.params, enc_params, batch, CFG)
+    _, norm = reconstruction_loss(state.params, enc_params, batch, cfg_n)
+    # identity: norm.feature == raw.feature / (mean(code^2) + 1e-8)
+    code = vgg_lib.encode(enc_params, batch.astype(CFG.dtype), CFG.relu_target)
+    power = float(jnp.mean(code.astype(jnp.float32) ** 2))
+    assert float(norm["feature"]) == pytest.approx(
+        float(raw["feature"]) / (power + 1e-8), rel=1e-5
+    )
+    # scale the LAST encoder conv's output 10x: raw feature term blows
+    # up ~100x, normalized one moves far less (decoder input changed, so
+    # exact invariance isn't expected — but the 100x factor must cancel)
+    import copy
+
+    scaled = copy.deepcopy(jax.device_get(enc_params))
+    last = "conv2_1"  # the conv that PRODUCES the relu2_1 target features
+    scaled[last]["w"] = scaled[last]["w"] * 10.0
+    scaled[last]["b"] = scaled[last]["b"] * 10.0
+    scaled = jax.tree_util.tree_map(jnp.asarray, scaled)
+    _, raw_s = reconstruction_loss(state.params, scaled, batch, CFG)
+    _, norm_s = reconstruction_loss(state.params, scaled, batch, cfg_n)
+    raw_ratio = float(raw_s["feature"]) / float(raw["feature"])
+    norm_ratio = float(norm_s["feature"]) / float(norm["feature"])
+    assert raw_ratio > 20.0
+    assert norm_ratio < raw_ratio / 10.0

@@ -72,6 +72,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--summary-iter", type=int, default=100)
     p.add_argument("--pixel-weight", type=float, default=1.0)
     p.add_argument("--feature-weight", type=float, default=1.0)
+    p.add_argument(
+        "--feature-norm", action="store_true",
+        help="normalize the feature L2 by the target features' mean "
+        "square (scale-free; ~no-op for the reference's normalised VGG, "
+        "essential for unnormalised encoders)",
+    )
     p.add_argument("--tv-weight", type=float, default=0.0)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
     p.add_argument("--tensorboard", action="store_true",
@@ -106,6 +112,7 @@ def main(argv=None) -> None:
         lr_decay=args.lr_decay,
         pixel_weight=args.pixel_weight,
         feature_weight=args.feature_weight,
+        feature_norm=args.feature_norm,
         tv_weight=args.tv_weight,
         crop_size=args.crop_size,
         max_iter=args.max_iter,

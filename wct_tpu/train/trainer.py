@@ -46,6 +46,14 @@ class TrainConfig:
     pixel_weight: float = 1.0
     feature_weight: float = 1.0
     tv_weight: float = 0.0
+    # Normalize the feature L2 by the (stop-gradient) mean square of the
+    # TARGET features, making the term scale-free. With the reference's
+    # normalised VGG (activations ~O(1) by construction — SURVEY §3.5)
+    # the divisor is ≈1 and this is a near-no-op; with an unnormalised
+    # encoder (e.g. the He-init stand-in, features O(100)) it stops the
+    # feature term from swamping the pixel term by ~1e4–1e5×. Off by
+    # default = exact reference objective (train.py:~120, plain L2).
+    feature_norm: bool = False
     crop_size: int = 256
     max_iter: int = 160_000
     save_iter: int = 5_000
@@ -98,6 +106,11 @@ def reconstruction_loss(
     feature = jnp.mean(
         (recode.astype(jnp.float32) - code.astype(jnp.float32)) ** 2
     )
+    if cfg.feature_norm:
+        power = jax.lax.stop_gradient(
+            jnp.mean(code.astype(jnp.float32) ** 2)
+        )
+        feature = feature / (power + 1e-8)
     tv = total_variation(decoded) if cfg.tv_weight else jnp.float32(0.0)
 
     total = (
