@@ -237,3 +237,36 @@ def test_dp_throughput_scaling_smoke(setup, capsys):
     print(f"per-image step time: 1-dev {per_image[1]*1e3:.2f} ms, "
           f"8-dev {per_image[8]*1e3:.2f} ms (1-core host)")
     assert per_image[8] < 3 * per_image[1] + 0.05
+
+
+def test_dp_pack2_whole_pairs_stays_collective_free(setup):
+    """pack2 pairs images along the batch dim. When every device holds
+    whole pairs (B % 2*n_dev == 0) the packed DP program must still
+    contain zero inter-device collectives — the pair reshape is local."""
+    import dataclasses
+
+    params, _, cache, cfg = setup
+    cfgp = dataclasses.replace(cfg, pack2_junction=True)
+    mesh = mesh_lib.create_mesh()
+    fn = mesh_lib._sharded_stylize_fn(cfgp, mesh, "data", False)
+    sds = jax.ShapeDtypeStruct(
+        (16, SIZE, SIZE, 3), jnp.float32,
+        sharding=mesh_lib.batch_sharding(mesh),
+    )
+    text = fn.lower(params, sds, cache, jnp.float32(0.7)).compile().as_text()
+    assert not _collectives_in(text), _collectives_in(text)
+
+
+def test_dp_pack2_split_pairs_falls_back(setup):
+    """B=8 over 8 devices → per-device batch 1: a packed pair would span
+    two shards, so stylize_sharded silently drops pack2 (output parity
+    with the unpacked path; no collectives sneak in)."""
+    import dataclasses
+
+    params, content, cache, cfg = setup
+    cfgp = dataclasses.replace(cfg, pack2_junction=True)
+    mesh = mesh_lib.create_mesh()
+    c = jnp.asarray(content)  # B=8
+    out_p = mesh_lib.stylize_sharded(params, c, cache, 0.7, cfgp, mesh)
+    out_ref = mesh_lib.stylize_sharded(params, c, cache, 0.7, cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_ref))

@@ -73,6 +73,15 @@ def stylize_sharded(
     cascade has no cross-image math, so XLA compiles this to fully
     independent per-shard programs — linear scaling over ICI-connected
     chips without any code change to the cascade itself.
+
+    When the batch divides the mesh, the cascade runs under
+    ``shard_map`` — per-device locality by CONSTRUCTION, so the program
+    provably contains zero collectives (GSPMD's reshape partitioner
+    cannot prove pack2's image-pair reshape local and would insert
+    collective-permute/all-to-all; shard_map sidesteps the inference
+    entirely, and pack2's ``b % 2`` eligibility gate then evaluates on
+    the device-LOCAL batch, which is exactly the right semantics).
+    Non-dividing batches fall back to GSPMD with pack2 off.
     """
     fn = _sharded_stylize_fn(cfg, mesh, axis_name, spatial=False)
     return fn(params, content, style_cache, jnp.asarray(alpha, jnp.float32))
@@ -101,10 +110,37 @@ def _sharded_stylize_fn(
         import dataclasses
 
         cfg = dataclasses.replace(cfg, fuse_junction=False)
+    if spatial:
+        return jax.jit(
+            partial(cascade_lib.stylize_fn, cfg=cfg),
+            in_shardings=(rep, data, rep, rep),
+            out_shardings=data,
+        )
+
+    # DP: shard_map when the batch divides the mesh — device-local
+    # programs by construction (provably collective-free, and pack2's
+    # local b%2 gate sees the per-device batch). GSPMD fallback (pack2
+    # off: its pair reshape defeats the reshape partitioner) otherwise.
+    import dataclasses
+
+    n_dev = mesh.shape[axis_name]
+    cfg_nopack = dataclasses.replace(cfg, pack2_junction=False)
+    local_fn = partial(cascade_lib.stylize_fn, cfg=cfg)
+    gspmd_fn = partial(cascade_lib.stylize_fn, cfg=cfg_nopack)
+
+    def dp_fn(params, content, style_cache, alpha):
+        if content.shape[0] % n_dev == 0:
+            return jax.shard_map(
+                local_fn,
+                mesh=mesh,
+                in_specs=(P(), P(axis_name), P(), P()),
+                out_specs=P(axis_name),
+                check_vma=False,
+            )(params, content, style_cache, alpha)
+        return gspmd_fn(params, content, style_cache, alpha)
+
     return jax.jit(
-        partial(cascade_lib.stylize_fn, cfg=cfg),
-        in_shardings=(rep, data, rep, rep),
-        out_shardings=data,
+        dp_fn, in_shardings=(rep, data, rep, rep), out_shardings=data
     )
 
 
