@@ -235,7 +235,9 @@ def test_train_cli_save_on_signal(tmp_path):
         stderr=subprocess.STDOUT,
         text=True,
     )
-    deadline = time.time() + 120
+    # Generous deadline: under heavy host load (e.g. a concurrent TPU
+    # training job compiling) the first CPU summary step can take minutes.
+    deadline = time.time() + 420
     metrics = ckpt / "metrics.jsonl"
     while time.time() < deadline and not metrics.exists():
         time.sleep(0.5)

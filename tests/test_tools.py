@@ -153,6 +153,34 @@ class TestMakeBundle:
         assert set(bundle["decoders"]) == {"relu1_1", "relu2_1"}
         assert "conv1_1" in bundle["encoder"]
 
+    def test_float16_storage_roundtrip(self, tmp_path, rng):
+        """--store-dtype float16 halves the artifact; load upcasts to f32."""
+        import jax
+        import numpy as np
+
+        from wct_tpu.tools import make_bundle
+        from wct_tpu.train import checkpoint
+
+        enc = vgg.init_encoder_params(jax.random.PRNGKey(0))
+        checkpoint.save_pytree(tmp_path / "enc.npz", {"encoder": enc})
+        d1 = dec_lib.init_decoder_params(jax.random.PRNGKey(1), "relu1_1")
+        checkpoint.save_pytree(tmp_path / "d1.npz", d1)
+        out32, out16 = tmp_path / "b32.npz", tmp_path / "b16.npz"
+        base = [
+            "--encoder", str(tmp_path / "enc.npz"),
+            "--decoder", f"relu1_1={tmp_path / 'd1.npz'}",
+        ]
+        make_bundle.main(base + [str(out32)])
+        make_bundle.main(base + ["--store-dtype", "float16", str(out16)])
+        assert out16.stat().st_size < 0.6 * out32.stat().st_size
+        b32 = checkpoint.load_pytree(out32)
+        b16 = checkpoint.load_pytree(out16)
+        w32 = np.asarray(b32["encoder"]["conv1_1"]["w"])
+        w16 = np.asarray(b16["encoder"]["conv1_1"]["w"])
+        assert w16.dtype == np.float32  # upcast on load
+        # f16 rounding: ~2^-11 relative
+        np.testing.assert_allclose(w16, w32, rtol=1e-3, atol=1e-4)
+
     def test_wrong_level_fails(self, tmp_path, rng):
         import jax
 

@@ -41,6 +41,23 @@ def test_loss_decreases(enc_params):
     assert int(state.step) == 30
 
 
+def test_uint8_pool_batches_match_float(enc_params):
+    """Pool batches ship uint8 (4× smaller H2D); on-device /255 must be
+    numerically identical to the old host-side .astype(f32)/255."""
+    it = synthetic_batches(CFG.batch_size, CFG.crop_size, seed=5, pool_size=16)
+    b = next(it)
+    assert b.dtype == np.uint8 and b.flags["C_CONTIGUOUS"]
+    state = init_train_state(jax.random.PRNGKey(2), CFG)
+    l_u8, _ = reconstruction_loss(
+        state.params, enc_params, jnp.asarray(b), CFG
+    )
+    l_f32, _ = reconstruction_loss(
+        state.params, enc_params,
+        jnp.asarray(b.astype(np.float32) / 255.0), CFG,
+    )
+    np.testing.assert_allclose(float(l_u8), float(l_f32), rtol=1e-5)
+
+
 def test_metrics_structure(enc_params):
     state = init_train_state(jax.random.PRNGKey(2), CFG)
     batch = jnp.asarray(next(synthetic_batches(CFG.batch_size, CFG.crop_size)))

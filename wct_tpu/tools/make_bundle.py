@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 
+import jax
 import numpy as np
 
 from wct_tpu.models import decoder as dec_lib
@@ -42,6 +43,11 @@ def main(argv=None) -> None:
     p.add_argument("--decoder", action="append", required=True,
                    metavar="TARGET=PATH",
                    help="relu target = decoder npz (repeatable)")
+    p.add_argument("--store-dtype", choices=("float32", "float16"),
+                   default="float32",
+                   help="on-disk dtype for float weights; float16 halves "
+                   "the artifact (~1e-3 relative rounding, upcast to f32 "
+                   "on load by checkpoint.load_pytree)")
     p.add_argument("out_npz")
     args = p.parse_args(argv)
 
@@ -59,8 +65,17 @@ def main(argv=None) -> None:
         validate_decoder(params, target)
         decoders[target] = params
 
-    checkpoint.save_pytree(args.out_npz, {"encoder": enc, "decoders": decoders})
-    print(f"wrote {args.out_npz}: encoder + decoders {sorted(decoders)}")
+    bundle = {"encoder": enc, "decoders": decoders}
+    if args.store_dtype == "float16":
+        bundle = jax.tree.map(
+            lambda a: np.asarray(a).astype(np.float16)
+            if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
+            bundle,
+        )
+    checkpoint.save_pytree(args.out_npz, bundle)
+    print(f"wrote {args.out_npz}: encoder + decoders {sorted(decoders)}"
+          + (f" (stored {args.store_dtype})"
+             if args.store_dtype != "float32" else ""))
 
 
 if __name__ == "__main__":

@@ -74,9 +74,19 @@ def save_pytree(path: str | os.PathLike, tree: Any) -> None:
 
 
 def load_pytree(path: str | os.PathLike) -> Any:
-    """Load an ``.npz`` checkpoint back into a (nested-dict/list) pytree."""
+    """Load an ``.npz`` checkpoint back into a (nested-dict/list) pytree.
+
+    float16 leaves are upcast to float32 on load: f16 is a pure
+    STORAGE format here (``make_bundle --store-dtype float16`` halves
+    the committed artifact), nothing in the framework computes in f16,
+    and mixed f16/f32 dtypes would trip ``lax.conv`` dtype matching.
+    """
     with np.load(str(path)) as data:
-        return _unflatten({k: data[k] for k in data.files})
+        return _unflatten({
+            k: (data[k].astype(np.float32)
+                if data[k].dtype == np.float16 else data[k])
+            for k in data.files
+        })
 
 
 def canonicalize(tree: Any) -> Any:

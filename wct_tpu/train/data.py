@@ -175,14 +175,22 @@ def synthetic_batches(
     )
     while True:
         idx = rng.integers(0, pool_size, batch_size)
-        batch = pool[idx].astype(np.float32) / 255.0
+        # Stay uint8 end-to-end: augmentation on 1-byte pixels and a
+        # uint8 H2D transfer (4× fewer bytes than f32 — the tunnel's
+        # H2D bandwidth, not the TPU, limits the 1-core host).
+        # reconstruction_loss normalizes /255 on device; the numbers
+        # are bit-identical to host-side .astype(f32)/255.
+        batch = pool[idx]
+        out = np.empty_like(batch)
         for i in range(batch_size):
+            img = batch[i]
             k = rng.integers(0, 4)
             if k:
-                batch[i] = np.rot90(batch[i], k)
+                img = np.rot90(img, k)
             if rng.random() < 0.5:
-                batch[i] = batch[i][:, ::-1]
-        yield batch
+                img = img[:, ::-1]
+            out[i] = img
+        yield out
 
 
 class DevicePrefetcher:

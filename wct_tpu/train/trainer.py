@@ -92,7 +92,13 @@ def reconstruction_loss(
     VGG out of TRAINABLE_VARIABLES.
     """
     target = cfg.relu_target
+    # uint8 batches are normalized ON DEVICE: the host→HBM transfer then
+    # moves a quarter of the bytes, which matters through the tunnel
+    # (measured r2: 12.6 MB f32 H2D per b16/256px step dominated the
+    # step time on a 1-core host; see synthetic_batches pool path).
     x = batch.astype(cfg.dtype)
+    if batch.dtype == jnp.uint8:
+        x = x / jnp.asarray(255.0, cfg.dtype)
     encode = lambda p, img: vgg.encode(p, img, target)
     decode = lambda p, f: dec_lib.decode(p, f, target)
     if cfg.remat:
