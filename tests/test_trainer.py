@@ -58,6 +58,34 @@ def test_uint8_pool_batches_match_float(enc_params):
     np.testing.assert_allclose(float(l_u8), float(l_f32), rtol=1e-5)
 
 
+def test_device_pool_sampler():
+    """On-device pool sampling: uint8 batches whose every image is a
+    rot90/flip of some pool entry; step fold-in is deterministic."""
+    from wct_tpu.train.data import make_pool_sampler, synthetic_pool
+
+    pool_np = synthetic_pool(np.random.default_rng(0), 6, 16)
+    pool = jnp.asarray(pool_np)
+    sample = make_pool_sampler(3)
+    key = jax.random.PRNGKey(7)
+    b1 = np.asarray(sample(pool, key, 5))
+    b2 = np.asarray(sample(pool, key, 5))
+    b3 = np.asarray(sample(pool, key, 6))
+    assert b1.dtype == np.uint8 and b1.shape == (3, 16, 16, 3)
+    np.testing.assert_array_equal(b1, b2)  # same step → same batch
+    assert not np.array_equal(b1, b3)  # different step → different batch
+
+    variants = [
+        f(np.rot90(img, k))
+        for img in pool_np
+        for k in range(4)
+        for f in (lambda x: x, lambda x: x[:, ::-1])
+    ]
+    for out in b1:
+        assert any(np.array_equal(out, v) for v in variants), (
+            "sampled image is not any rot/flip of a pool entry"
+        )
+
+
 def test_metrics_structure(enc_params):
     state = init_train_state(jax.random.PRNGKey(2), CFG)
     batch = jnp.asarray(next(synthetic_batches(CFG.batch_size, CFG.crop_size)))

@@ -149,13 +149,18 @@ def main(argv=None) -> None:
             start_step = int(state.step)
             print(f"[train] resumed ({args.ckpt_format}) at step {start_step}")
 
+    batches = None
+    use_device_pool = False
     if args.synthetic or not args.content_path:
         if not args.synthetic:
             print("[train] NOTE: no --content-path; using synthetic images")
-        batches = synthetic_batches(
-            cfg.batch_size, cfg.crop_size, args.seed,
-            pool_size=args.synthetic_pool,
-        )
+        # Pooled synthetic data lives ON DEVICE (sampling + augmentation
+        # jitted); decided after the sharding is known — see below.
+        use_device_pool = args.synthetic_pool > 0
+        if not use_device_pool:
+            batches = synthetic_batches(
+                cfg.batch_size, cfg.crop_size, args.seed, pool_size=0
+            )
     else:
         paths = images.get_files(args.content_path)
         print(f"[train] {len(paths)} training images")
@@ -214,7 +219,34 @@ def main(argv=None) -> None:
         if not tb_writer.active:
             print("[train] tensorboard requested but TF unavailable; skipping")
 
-    prefetch = DevicePrefetcher(batches, depth=2, sharding=sharding)
+    if use_device_pool and sharding is not None:
+        # DP keeps the host prefetch path (the pool would need
+        # per-device sharding); single-device gets the resident pool.
+        use_device_pool = False
+        batches = synthetic_batches(
+            cfg.batch_size, cfg.crop_size, args.seed,
+            pool_size=args.synthetic_pool,
+        )
+    if use_device_pool:
+        from wct_tpu.train.data import device_pool_batches, synthetic_pool
+
+        pool_np = synthetic_pool(
+            np.random.default_rng(args.seed), args.synthetic_pool,
+            cfg.crop_size,
+        )
+        print(
+            f"[train] device-resident pool: {args.synthetic_pool} images "
+            f"({pool_np.nbytes / 1e6:.0f} MB uploaded once), on-device "
+            "sampling + augmentation"
+        )
+        prefetch = device_pool_batches(
+            pool_np, cfg.batch_size, args.seed, start_step=start_step
+        )
+    else:
+        # depth 4 (not classic double buffering): the tunnel's H2D
+        # bandwidth fluctuates several-fold over seconds (measured r2:
+        # 25–98 img/s summary windows); a deeper queue rides the stalls.
+        prefetch = DevicePrefetcher(batches, depth=4, sharding=sharding)
     log_file = (ckpt_dir / "metrics.jsonl").open("a")
     t0 = time.time()
     try:

@@ -15,6 +15,7 @@ import threading
 from collections.abc import Iterator
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from wct_tpu.utils import images as img_utils
@@ -167,12 +168,7 @@ def synthetic_batches(
             yield np.stack(
                 [synthetic_image(rng, crop_size) for _ in range(batch_size)]
             )
-    pool = np.stack(
-        [
-            (synthetic_image(rng, crop_size) * 255).astype(np.uint8)
-            for _ in range(pool_size)
-        ]
-    )
+    pool = synthetic_pool(rng, pool_size, crop_size)
     while True:
         idx = rng.integers(0, pool_size, batch_size)
         # Stay uint8 end-to-end: augmentation on 1-byte pixels and a
@@ -191,6 +187,77 @@ def synthetic_batches(
                 img = img[:, ::-1]
             out[i] = img
         yield out
+
+
+def synthetic_pool(
+    rng: np.random.Generator, pool_size: int, crop_size: int
+) -> np.ndarray:
+    """Pre-generate ``pool_size`` procedural images as one uint8 array."""
+    return np.stack(
+        [
+            (synthetic_image(rng, crop_size) * 255).astype(np.uint8)
+            for _ in range(pool_size)
+        ]
+    )
+
+
+def make_pool_sampler(batch_size: int):
+    """Jitted on-device batch sampler over a DEVICE-RESIDENT pool.
+
+    ``sample(pool, key, step) -> uint8 [B, H, W, 3]``: gather
+    ``batch_size`` random pool entries and apply random rot90/flip —
+    entirely on device. With the pool uploaded once (a 1024×256px uint8
+    pool is ~200 MB, trivial against HBM), the per-step host→device
+    traffic drops to two scalars, which removes the tunnel-H2D
+    bottleneck entirely (measured r2: host uint8 prefetch 22–98 img/s
+    fluctuating with tunnel bandwidth; device pool is compute-bound).
+    ``step`` is folded into ``key`` so resumed runs continue the
+    augmentation stream deterministically.
+    """
+
+    def sample(pool: jax.Array, key: jax.Array, step: jax.Array) -> jax.Array:
+        k = jax.random.fold_in(key, step)
+        k1, k2, k3 = jax.random.split(k, 3)
+        idx = jax.random.randint(k1, (batch_size,), 0, pool.shape[0])
+        batch = pool[idx]
+        rots = jax.random.randint(k2, (batch_size,), 0, 4)
+        flips = jax.random.bernoulli(k3, 0.5, (batch_size,))
+
+        def aug(img, r, f):
+            img = jax.lax.switch(
+                r,
+                [
+                    lambda x: x,
+                    lambda x: jnp.rot90(x, 1),
+                    lambda x: jnp.rot90(x, 2),
+                    lambda x: jnp.rot90(x, 3),
+                ],
+                img,
+            )
+            return jnp.where(f, img[:, ::-1], img)
+
+        return jax.vmap(aug)(batch, rots, flips)
+
+    return jax.jit(sample)
+
+
+def device_pool_batches(
+    pool_np: np.ndarray, batch_size: int, seed: int = 0, start_step: int = 0,
+) -> Iterator[jax.Array]:
+    """Yield on-device uint8 batches sampled from a device-resident pool.
+
+    Drop-in replacement for ``DevicePrefetcher(synthetic_batches(...))``
+    on a single device — batches never touch the host after the one-off
+    pool upload. (Multi-device DP keeps the host prefetch path: the
+    pool would need per-device sharding there.)
+    """
+    pool = jax.device_put(pool_np)
+    sample = make_pool_sampler(batch_size)
+    key = jax.random.PRNGKey(seed)
+    step = start_step
+    while True:
+        yield sample(pool, key, step)
+        step += 1
 
 
 class DevicePrefetcher:
