@@ -162,6 +162,26 @@ def main() -> None:
     record("5_stream_720p_engine_host_io", strict_fps=strict_fps,
            pipelined_fps=piped_fps)
 
+    # frame_batch=2: consecutive-frame pairing (one dispatch per pair;
+    # with pack2-eligible configs the pair also rides the image-pair
+    # lane packing). +1 frame latency vs pipelined single-frame.
+    eng2 = StreamStylizer(params, cfg, 720, 1280, readback="uint8",
+                          frame_batch=2)
+    eng2.set_style(np.asarray(style_v))
+    for f in host_frames[:4]:  # warm/compile the paired graph
+        eng2.process_pipelined(f)
+    while eng2.collect() is not None:
+        pass
+    t0 = time.perf_counter()
+    n_out = 0
+    for f in host_frames:
+        if eng2.process_pipelined(f) is not None:
+            n_out += 1
+    while eng2.collect() is not None:
+        n_out += 1
+    pair_fps = n_out / (time.perf_counter() - t0)
+    record("5_stream_720p_engine_frame_batch2", pipelined_fps=pair_fps)
+
     log("summary: " + json.dumps(results))
 
 

@@ -527,6 +527,32 @@ class TestStreamEngine:
             np.testing.assert_array_equal(a, b)
         assert eng.n_pending == 0
 
+    def test_frame_batch_matches_strict_in_order(self, rng):
+        """frame_batch=2 grouping returns the SAME outputs as strict
+        per-frame processing (bitwise batch stability), in order, and
+        the drain flushes the odd partial group without losing frames."""
+        import jax
+
+        from wct_tpu.models import cascade
+        from wct_tpu.utils.stream import StreamStylizer
+
+        params = cascade.init_params(jax.random.PRNGKey(0))
+        cfg = cascade.CascadeConfig(relu_targets=("relu2_1", "relu1_1"))
+        eng = StreamStylizer(params, cfg, 32, 32, frame_batch=2)
+        eng.set_style(rng.random((32, 32, 3)).astype(np.float32))
+        # 7 frames: three full pairs + one padded partial group
+        frames = [rng.random((32, 32, 3)).astype(np.float32) for _ in range(7)]
+
+        strict = [eng.process(f) for f in frames]
+        piped = [eng.process_pipelined(f) for f in frames]
+        while (tail := eng.collect()) is not None:
+            piped.append(tail)
+        piped = [p for p in piped if p is not None]
+        assert len(piped) == len(strict)
+        for a, b in zip(strict, piped):
+            np.testing.assert_array_equal(a, b)
+        assert eng.n_pending == 0
+
     def test_uint8_readback_matches_host_quantization(self, rng):
         """Device-side uint8 quantization == clip(x,0,1)*255→uint8 on host."""
         import jax

@@ -40,6 +40,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--batch-size", type=int, default=1,
                    help=">1 batches frames for offline video throughput "
                         "(adds latency; only sensible with --video)")
+    p.add_argument("--frame-batch", type=int, default=1,
+                   help=">1 groups consecutive frames into one dispatch "
+                        "in the pipelined path (higher throughput, "
+                        "frame-batch-1 extra frames of latency); 2 "
+                        "enables image-pair lane packing with "
+                        "--preset throughput")
     p.add_argument("--no-pipeline", action="store_true",
                    help="strict per-frame latency: wait for each frame's "
                         "readback before submitting the next. Default is "
@@ -109,6 +115,7 @@ def main(argv=None) -> None:
     engine = StreamStylizer(
         params, cfg, args.height, args.width, keep_colors=args.keep_colors,
         readback="uint8",  # quantize on device: 1/4 the D2H bytes
+        frame_batch=1 if args.no_pipeline else max(1, args.frame_batch),
     )
     engine.alpha = args.alpha
     style_idx = 0

@@ -116,6 +116,14 @@ class StreamStylizer:
     to uint8 for display/encoding anyway, and the quantization is
     bitwise-identical to the host-side ``clip(x,0,1)*255 → uint8``).
     Outputs are still returned as float32 in [0,1].
+
+    ``frame_batch=K`` groups K consecutive frames into ONE dispatch in
+    the pipelined path: batch-1 dispatches leave the chip ~2.4× less
+    efficient per frame than batched serving (measured r1: 33 fps b1 vs
+    78 fps b16 at 512px), and an even K makes the stream eligible for
+    ``pack2_junction``'s image-pair lane packing. Costs K−1 extra
+    frames of latency on top of the pipeline depth; K=1 keeps the
+    reference's strict frame-at-a-time semantics.
     """
 
     def __init__(
@@ -127,6 +135,7 @@ class StreamStylizer:
         keep_colors: bool = False,
         readback: str = "float32",
         pipeline_depth: int = 1,
+        frame_batch: int = 1,
     ):
         self.params = params
         self.cfg = cfg
@@ -148,7 +157,13 @@ class StreamStylizer:
         if pipeline_depth < 1:
             raise ValueError(f"pipeline_depth must be >= 1, got {pipeline_depth}")
         self.pipeline_depth = pipeline_depth
-        self._pending: deque[tuple[np.ndarray, jax.Array]] = deque()
+        if frame_batch < 1:
+            raise ValueError(f"frame_batch must be >= 1, got {frame_batch}")
+        self.frame_batch = frame_batch
+        # groups of ≤frame_batch frames: (host frames, device batch, n_real)
+        self._pending: deque[tuple[list[np.ndarray], jax.Array, int]] = deque()
+        self._inbuf: list[np.ndarray] = []  # frames awaiting a full group
+        self._outbuf: deque[np.ndarray] = deque()  # materialized, undelivered
 
     # -- style management (encode ONCE per style switch) --
     def set_style(self, style_img: np.ndarray) -> None:
@@ -212,63 +227,112 @@ class StreamStylizer:
         return outs
 
     # -- per-frame hot path --
-    def _launch(self, frame_rgb: np.ndarray) -> tuple[np.ndarray, jax.Array]:
-        """Resize + H2D + dispatch (async); returns (host frame, device out)."""
-        if self._cache is None:
-            raise RuntimeError("no style set")
+    def _resize(self, frame_rgb: np.ndarray) -> np.ndarray:
         if frame_rgb.shape[:2] != (self.height, self.width):
             frame_rgb = img_utils.resize_exact(frame_rgb, self.height, self.width)
+        return frame_rgb
+
+    def _dispatch(self, batch: np.ndarray) -> jax.Array:
+        """H2D + compute dispatch (async) for a [K, H, W, 3] batch."""
+        if self._cache is None:
+            raise RuntimeError("no style set")
         out = cascade.stylize(
             self.params,
-            jnp.asarray(frame_rgb, jnp.float32)[None],
+            jnp.asarray(batch, jnp.float32),
             self._cache,
             self.alpha,
             self.cfg,
-        )[0]
+        )
         if self._postcast is not None:
             out = self._postcast(out)
-        return frame_rgb, out
+        return out
 
-    def _materialize(self, frame_rgb: np.ndarray, dev_out: jax.Array) -> np.ndarray:
-        stylized = np.asarray(dev_out)
-        if stylized.dtype == np.uint8:
-            stylized = stylized.astype(np.float32) / 255.0
+    def _launch_group(self, frames: list[np.ndarray]) -> None:
+        """Dispatch ≤frame_batch resized frames as one padded batch."""
+        n = len(frames)
+        padded = frames + [frames[-1]] * (self.frame_batch - n)
+        self._pending.append((frames, self._dispatch(np.stack(padded)), n))
+
+    def _materialize_group(self) -> None:
+        """Read back the oldest in-flight group into the output buffer."""
+        frames, dev_out, n = self._pending.popleft()
+        arr = np.asarray(dev_out)  # ONE D2H for the whole group
+        if arr.dtype == np.uint8:
+            arr = arr.astype(np.float32) / 255.0
         else:
-            stylized = stylized.astype(np.float32)
-        if self.keep_colors:
-            stylized = color_utils.preserve_colors_np(frame_rgb, stylized)
-        return stylized
+            arr = arr.astype(np.float32)
+        for i in range(n):
+            out = arr[i]
+            if self.keep_colors:
+                out = color_utils.preserve_colors_np(frames[i], out)
+            self._outbuf.append(out)
 
     def process(self, frame_rgb: np.ndarray) -> np.ndarray:
         """Stylize one RGB float [0,1] frame (any size → fixed size).
 
-        Strict-latency mode: blocks for this frame's readback.
+        Strict-latency mode: blocks for this frame's readback; always a
+        single-frame dispatch regardless of ``frame_batch``.
         """
-        return self._materialize(*self._launch(frame_rgb))
+        frame = self._resize(frame_rgb)
+        arr = np.asarray(self._dispatch(frame[None])[0])
+        if arr.dtype == np.uint8:
+            arr = arr.astype(np.float32) / 255.0
+        else:
+            arr = arr.astype(np.float32)
+        if self.keep_colors:
+            arr = color_utils.preserve_colors_np(frame, arr)
+        return arr
 
     # -- pipelined mode (submit-ahead / sync-behind) --
     def submit(self, frame_rgb: np.ndarray) -> None:
-        """Enqueue a frame's stylization without waiting for its output."""
-        self._pending.append(self._launch(frame_rgb))
+        """Enqueue a frame's stylization without waiting for its output.
+
+        Frames accumulate until ``frame_batch`` are buffered, then fly
+        as one dispatch.
+        """
+        self._inbuf.append(self._resize(frame_rgb))
+        if len(self._inbuf) >= self.frame_batch:
+            self._launch_group(self._inbuf)
+            self._inbuf = []
 
     def collect(self) -> np.ndarray | None:
-        """Read back the OLDEST in-flight frame (None if none pending)."""
+        """Read back the OLDEST in-flight frame (None if none pending).
+
+        Flushes a partially-filled frame group first (padded dispatch),
+        so draining with ``while (out := eng.collect()) is not None``
+        loses no frames.
+        """
+        if self._outbuf:
+            return self._outbuf.popleft()
+        if self._inbuf:
+            self._launch_group(self._inbuf)
+            self._inbuf = []
         if not self._pending:
             return None
-        return self._materialize(*self._pending.popleft())
+        self._materialize_group()
+        return self._outbuf.popleft()
 
     def process_pipelined(self, frame_rgb: np.ndarray) -> np.ndarray | None:
         """Submit this frame; return a PREVIOUS frame's output.
 
-        Returns None for the first ``pipeline_depth`` calls (pipeline
-        priming); call ``collect()`` after the stream ends to drain the
-        in-flight tail. Output order is submission order.
+        Returns None while the pipeline primes (the first
+        ``pipeline_depth × frame_batch`` frames, plus group-fill gaps);
+        call ``collect()`` after the stream ends to drain the in-flight
+        tail. Output order is submission order.
         """
         self.submit(frame_rgb)
+        if self._outbuf:
+            return self._outbuf.popleft()
         if len(self._pending) > self.pipeline_depth:
-            return self.collect()
+            self._materialize_group()
+            return self._outbuf.popleft()
         return None
 
     @property
     def n_pending(self) -> int:
-        return len(self._pending)
+        """Frames in flight (dispatched or buffered), not yet delivered."""
+        return (
+            sum(n for _, _, n in self._pending)
+            + len(self._inbuf)
+            + len(self._outbuf)
+        )
