@@ -89,6 +89,7 @@ def main() -> None:
                 fps = throughput(fn, batches)
                 break
             except Exception as e:  # noqa: BLE001 — record what we can
+                fn = None  # don't latency-bench a half-built config
                 log(f"{dtype}/{method} pack2={pack2} failed: "
                     f"{str(e).splitlines()[0][:120]}")
         best = max(best, fps)

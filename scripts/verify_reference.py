@@ -340,10 +340,17 @@ def stage_parity(
         return
     ours_out = work / "ours"
     from wct_tpu.cli import stylize as stylize_cli
+    from wct_tpu.train import checkpoint
 
     try:
+        # A partially-converted mount (some decoder ckpts missing) still
+        # yields a usable bundle — run the cascade over exactly the
+        # levels it has, deepest first, instead of defaulting to all 5.
+        targets = sorted(checkpoint.load_pytree(bundle)["decoders"],
+                         reverse=True)
         stylize_cli.main([
             "--weights", str(bundle),
+            "--relu-targets", *targets,
             "--content-path", str(content),
             "--style-path", str(style),
             "--out-path", str(ours_out),
@@ -352,9 +359,17 @@ def stage_parity(
         if e.code not in (None, 0):
             rep.add("parity.outputs", FAIL, f"our stylize CLI exited {e.code}")
             return
+    except Exception as e:  # noqa: BLE001 — untrusted mount: keep the table
+        rep.add("parity.outputs", FAIL, f"stylize over mount data: {e!r}")
+        return
     from wct_tpu.tools import compare_outputs
 
-    rc = compare_outputs.main([str(ours_out), str(ref_outputs), "--tol", "0.02"])
+    try:
+        rc = compare_outputs.main(
+            [str(ours_out), str(ref_outputs), "--tol", "0.02"])
+    except Exception as e:  # noqa: BLE001
+        rep.add("parity.outputs", FAIL, f"compare_outputs: {e!r}")
+        return
     rep.add("parity.outputs", OK if rc == 0 else FAIL,
             "compare_outputs gate (tol 0.02 max-abs)"
             + ("" if rc == 0 else f" rc={rc}"))

@@ -220,9 +220,18 @@ def load_params(args: argparse.Namespace) -> dict:
             raise SystemExit("--checkpoints needs --vgg-path for the encoder")
         enc = checkpoint.load_pytree(args.vgg_path)
         decoders = {}
+        from wct_tpu.tools.make_bundle import validate_decoder
+
         for t, path in zip(targets, ckpts):
             tree = checkpoint.load_pytree(path)
-            decoders[t] = tree["params"] if "params" in tree else tree
+            tree = tree["params"] if "params" in tree else tree
+            try:
+                validate_decoder(tree, t)
+            except ValueError as e:
+                raise SystemExit(
+                    f"--checkpoints {path} is not a {t} decoder: {e}"
+                ) from e
+            decoders[t] = tree
         return {
             "encoder": enc["encoder"] if "encoder" in enc else enc,
             "decoders": decoders,

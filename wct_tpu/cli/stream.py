@@ -162,23 +162,31 @@ def main(argv=None) -> None:
                 w0 = 0.5 * (1 + np.cos(interp_phase))
                 engine.set_interp_weights(np.array([w0, 1 - w0]))
 
-            t0 = time.perf_counter()
             if args.no_pipeline:
+                t0 = time.perf_counter()
                 stylized = engine.process(frame_rgb)
+                dt = time.perf_counter() - t0
             else:
                 # Submit-ahead/sync-behind: this call returns the
                 # PREVIOUS frame's output while this frame computes.
+                # Per-call dt would be meaningless here (an _outbuf pop
+                # is ~µs and a readback syncs an OLDER frame), so the
+                # pipelined path reports sustained delivery fps instead.
                 stylized = engine.process_pipelined(frame_rgb)
                 if stylized is None:
-                    continue  # pipeline priming (first frame)
-            dt = time.perf_counter() - t0
+                    continue  # pipeline priming (first frame / group fill)
+                dt = None
 
             out_bgr = (np.clip(stylized, 0, 1) * 255).astype(np.uint8)[..., ::-1]
             if writer is not None:
                 writer.write(out_bgr)
             n += 1
             if n % 30 == 0:
-                print(f"frame {n}: {dt * 1000:.0f} ms ({1 / dt:.1f} fps)")
+                if dt is None:
+                    fps = n / (time.perf_counter() - t_start)
+                    print(f"frame {n}: {fps:.1f} fps sustained (pipelined)")
+                else:
+                    print(f"frame {n}: {dt * 1000:.0f} ms ({1 / dt:.1f} fps)")
 
             if not args.no_display:
                 cv2.imshow("wct_tpu", out_bgr)

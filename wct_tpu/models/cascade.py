@@ -404,6 +404,7 @@ def stylize_fn(
                         state_val,
                         enc["conv0"]["w"], enc["conv0"]["b"],
                         enc["conv1_1"]["w"], enc["conv1_1"]["b"],
+                        precision=cfg.lax_precision,
                     )
                 else:
                     e1p = state_val
@@ -415,6 +416,7 @@ def stylize_fn(
                     transform=cfg.transform, adain_stats=style.adain,
                     method=cfg.method, soft_trunc=cfg.soft_trunc,
                     ns_iters=cfg.ns_iters_for(level),
+                    precision=cfg.lax_precision,
                 )
                 if cfg.clip_between_levels:
                     out = jnp.clip(out, 0.0, 1.0)
@@ -433,7 +435,9 @@ def stylize_fn(
                     if pack2_ok:
                         from wct_tpu.ops import pack2
 
-                        p1 = pack2.head_pack2(*head_args)
+                        p1 = pack2.head_pack2(
+                            *head_args, precision=cfg.lax_precision
+                        )
                     else:
                         from wct_tpu.ops import junction_pallas
 
@@ -577,6 +581,7 @@ def stylize_fn(
                     out = pack2.junction_pack2(
                         *j_args, deep=deep, clip=cfg.clip_between_levels,
                         unpack_out=not keep_packed,
+                        precision=cfg.lax_precision,
                     )
                     state_kind = (
                         "pooled" if deep else ("e1p" if keep_packed else "e1")

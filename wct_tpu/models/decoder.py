@@ -98,7 +98,7 @@ def decode_folded(
     _, name, *_ = layers[0]
     p = params[name]
     w_fold, b_fold = fold_affine_into_conv(m, bias, p["w"], p["b"])
-    x = conv2d_reflect_perimage(f, w_fold, b_fold)
+    x = conv2d_reflect_perimage(f, w_fold, b_fold, precision=precision)
     if len(layers) > 1:  # final conv is linear (reference model.py:~135)
         x = jax.nn.relu(x)
     return _decode(params, x, layers, start=1, precision=precision)

@@ -63,7 +63,12 @@ def conv2d_reflect(
     return out + b.astype(out.dtype)
 
 
-def conv2d_reflect_perimage(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+def conv2d_reflect_perimage(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+    precision: jax.lax.Precision | None = None,
+) -> jax.Array:
     """Reflect conv where every batch item has ITS OWN weights.
 
     ``x: [B, H, W, Ci]``, ``w: [B, kh, kw, Ci, Co]``, ``b: [B, Co]``.
@@ -91,7 +96,7 @@ def conv2d_reflect_perimage(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Arr
         padding="VALID",
         dimension_numbers=_DN,
         batch_group_count=B,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision or jax.lax.Precision.HIGHEST,
     )
     out = out.reshape(H, W, B, Co) + b.astype(out.dtype)[None, None]
     return jnp.transpose(out, (2, 0, 1, 3))

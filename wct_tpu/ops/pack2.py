@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from wct_tpu.ops.convs import conv2d_reflect, maxpool2, upsample_nearest2
+from wct_tpu.ops.wct import DEFAULT_EPS, DEFAULT_TRUNC
 
 
 def _blockdiag(w: jax.Array) -> jax.Array:
@@ -62,6 +63,7 @@ def junction_pack2(
     deep: bool = True,
     clip: bool = False,
     unpack_out: bool = True,
+    precision=None,
 ) -> jax.Array:
     """The cascade junction segment on image-paired arrays.
 
@@ -76,22 +78,26 @@ def junction_pack2(
     """
     dp = pack(d)
     u = upsample_nearest2(dp)
-    m = jax.nn.relu(conv2d_reflect(u, _blockdiag(dec_w1), _dup(dec_b1)))
-    rgb = conv2d_reflect(m, _blockdiag(dec_w2), _dup(dec_b2))
+    m = jax.nn.relu(
+        conv2d_reflect(u, _blockdiag(dec_w1), _dup(dec_b1), precision=precision)
+    )
+    rgb = conv2d_reflect(m, _blockdiag(dec_w2), _dup(dec_b2), precision=precision)
     if clip:
         rgb = jnp.clip(rgb, 0.0, 1.0)
-    x = conv2d_reflect(rgb, _blockdiag(enc_w0), _dup(enc_b0))
-    e1 = jax.nn.relu(conv2d_reflect(x, _blockdiag(enc_w11), _dup(enc_b11)))
+    x = conv2d_reflect(rgb, _blockdiag(enc_w0), _dup(enc_b0), precision=precision)
+    e1 = jax.nn.relu(
+        conv2d_reflect(x, _blockdiag(enc_w11), _dup(enc_b11), precision=precision)
+    )
     if not deep:
         return unpack(e1) if unpack_out else e1
     e2 = jax.nn.relu(
-        conv2d_reflect(e1, _blockdiag(enc_w12), _dup(enc_b12))
+        conv2d_reflect(e1, _blockdiag(enc_w12), _dup(enc_b12), precision=precision)
     )
     return unpack(maxpool2(e2))
 
 
 def head_pack2_shallow(
-    img: jax.Array, enc_w0, enc_b0, enc_w11, enc_b11
+    img: jax.Array, enc_w0, enc_b0, enc_w11, enc_b11, *, precision=None
 ) -> jax.Array:
     """First encode up to relu1_1 on paired images, KEPT PACKED.
 
@@ -100,8 +106,10 @@ def head_pack2_shallow(
     first level is relu1_1).
     """
     x = pack(img)
-    x = conv2d_reflect(x, _blockdiag(enc_w0), _dup(enc_b0))
-    return jax.nn.relu(conv2d_reflect(x, _blockdiag(enc_w11), _dup(enc_b11)))
+    x = conv2d_reflect(x, _blockdiag(enc_w0), _dup(enc_b0), precision=precision)
+    return jax.nn.relu(
+        conv2d_reflect(x, _blockdiag(enc_w11), _dup(enc_b11), precision=precision)
+    )
 
 
 def _pair_gram(flat: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -137,11 +145,12 @@ def tail_pack2(
     *,
     transform: str = "wct",
     adain_stats=None,
-    eps: float = 1e-8,
-    trunc: float = 1e-5,
+    eps: float = DEFAULT_EPS,
+    trunc: float = DEFAULT_TRUNC,
     method: str = "eigh",
     soft_trunc: bool = False,
     ns_iters: int | None = None,
+    precision=None,
 ) -> jax.Array:
     """The relu1_1 level on PACKED features: WCT/AdaIN apply + final conv.
 
@@ -227,19 +236,23 @@ def tail_pack2(
         out = (out + bias[:, None, :]).astype(e1p.dtype)
 
     out = out.reshape(b2, h, w, c2)
-    rgb = conv2d_reflect(out, _blockdiag(dec_w), _dup(dec_b))
+    rgb = conv2d_reflect(out, _blockdiag(dec_w), _dup(dec_b), precision=precision)
     return unpack(rgb)
 
 
 def head_pack2(
     img: jax.Array,
     enc_w0, enc_b0, enc_w11, enc_b11, enc_w12, enc_b12,
+    *,
+    precision=None,
 ) -> jax.Array:
     """First encode's 512-tier on paired images → post-pool1 state."""
     x = pack(img)
-    x = conv2d_reflect(x, _blockdiag(enc_w0), _dup(enc_b0))
-    e1 = jax.nn.relu(conv2d_reflect(x, _blockdiag(enc_w11), _dup(enc_b11)))
+    x = conv2d_reflect(x, _blockdiag(enc_w0), _dup(enc_b0), precision=precision)
+    e1 = jax.nn.relu(
+        conv2d_reflect(x, _blockdiag(enc_w11), _dup(enc_b11), precision=precision)
+    )
     e2 = jax.nn.relu(
-        conv2d_reflect(e1, _blockdiag(enc_w12), _dup(enc_b12))
+        conv2d_reflect(e1, _blockdiag(enc_w12), _dup(enc_b12), precision=precision)
     )
     return unpack(maxpool2(e2))
