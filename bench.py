@@ -16,7 +16,9 @@ Measurement notes (hard-won — see .claude/skills/verify/SKILL.md):
 - The tunnel has a ~27 ms round-trip floor per synced call. Throughput
   is therefore measured by enqueueing K distinct pre-uploaded batches
   and syncing ONCE on the last output: frames = K·B / elapsed.
-- Weights are random: conv/eigh/NS FLOPs are weight-independent.
+- Weights: the trained round-2 bundle when present (ckpt_r2/
+  bundle.npz), else random init — conv/eigh/NS FLOPs are
+  weight-independent, so the number is the same either way.
 """
 
 from __future__ import annotations
@@ -54,7 +56,20 @@ def main() -> None:
     log(f"device: {jax.devices()[0].device_kind} ({jax.default_backend()})")
 
     rng = np.random.default_rng(0)
-    params = cascade.init_params(jax.random.PRNGKey(0))
+    # Trained weights when present (identical FLOPs either way — conv/
+    # eigh/NS cost is weight-independent; random init keeps the bench
+    # runnable on a fresh clone).
+    from pathlib import Path
+
+    bundle = Path(__file__).parent / "ckpt_r2" / "bundle.npz"
+    if bundle.exists():
+        from wct_tpu.train.checkpoint import load_pytree
+
+        params = load_pytree(bundle)
+        log(f"weights: trained bundle {bundle}")
+    else:
+        params = cascade.init_params(jax.random.PRNGKey(0))
+        log("weights: random init (no trained bundle found)")
     style = jnp.asarray(rng.random((args.size, args.size, 3), np.float32))
     content1 = jnp.asarray(rng.random((1, args.size, args.size, 3), np.float32))
     batches = [

@@ -55,8 +55,11 @@ for t in relu1_1 relu2_1 relu3_1 relu4_1 relu5_1; do
   decoder_args+=(--decoder "$t=$OUT/$t/decoder_$t.npz")
 done
 
+# float16 storage halves the committed artifact; weights are loaded
+# back to f32 (quantization ~1e-3 relative, far under the decoders'
+# reconstruction error).
 python -m wct_tpu.tools.make_bundle --encoder "$OUT/encoder.npz" \
-  "${decoder_args[@]}" "$OUT/bundle.npz"
+  --store-dtype float16 "${decoder_args[@]}" "$OUT/bundle.npz"
 echo "bundle ready: $OUT/bundle.npz"
 
 python scripts/eval_bundle.py "$OUT/bundle.npz" --out-dir "$OUT/samples"
