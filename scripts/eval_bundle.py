@@ -111,11 +111,59 @@ def main(argv=None) -> int:
     images.save_img(out_dir / "stylized_adain.png", np.asarray(out[0]))
     print(f"wrote {out_dir / 'stylized_adain.png'}")
 
+    # Real photographs when the environment bundles any (matplotlib's
+    # grace_hopper, sklearn's china/flower): the decoders were trained
+    # on procedural images only, so these are fully out-of-distribution
+    # — the honest "what a user would see" sample.
+    real = []
+    for cand in (
+        "matplotlib/mpl-data/sample_data/grace_hopper.jpg",
+        "sklearn/datasets/images/china.jpg",
+        "sklearn/datasets/images/flower.jpg",
+    ):
+        import site
+
+        for sp in site.getsitepackages():
+            f = Path(sp) / cand
+            if f.exists():
+                real.append(f)
+                break
+    if len(real) >= 2:
+        rp = {}
+        c_img = images.center_crop(
+            images.resize_to(images.get_img(real[0]), args.size), args.size
+        )
+        s_img = images.center_crop(
+            images.resize_to(images.get_img(real[1]), args.size), args.size
+        )
+        images.save_img(out_dir / "real_content.png", c_img)
+        images.save_img(out_dir / "real_style.png", s_img)
+        rcache = cascade.precompute_style(
+            params["encoder"], jnp.asarray(s_img), cfg
+        )
+        for alpha in (0.6, 1.0):
+            out = cascade.stylize(
+                params, jnp.asarray(c_img)[None], rcache, alpha, cfg
+            )
+            name = f"real_stylized_alpha{alpha:.1f}.png"
+            images.save_img(out_dir / name, np.asarray(out[0]))
+            print(f"wrote {out_dir / name}")
+        out0 = np.asarray(
+            cascade.stylize(
+                params, jnp.asarray(c_img)[None], rcache, 0.0, cfg
+            )[0]
+        )
+        rp["alpha0_psnr_db"] = psnr(out0, c_img)
+        print(f"real photo alpha=0 cascade PSNR: {rp['alpha0_psnr_db']:.2f} dB")
+    else:
+        rp = None
+
     # machine-readable summary for BASELINE.md / the judge
     import json
 
     (out_dir / "eval.json").write_text(json.dumps(
         {"recon_psnr_db": rows, "alpha0_cascade_psnr_db": p0,
+         "real_photo": rp,
          "size": args.size, "n_eval": args.n_eval}, indent=1))
     print(f"wrote {out_dir / 'eval.json'}")
     return 0

@@ -260,3 +260,49 @@ class TestConvertTFCkpt:
         }
         with pytest.raises(ValueError):
             convert_tf_ckpt.tf_vars_to_decoder_params(variables, "relu1_1")
+
+
+class TestNormalizeEncoder:
+    """Gatys activation normalisation of the encoder (SURVEY C5/§3.5:
+    vgg_normalised.t7 has mean post-ReLU activation 1 per channel)."""
+
+    def test_means_become_one_and_relu_commutes(self, rng):
+        import jax
+
+        from wct_tpu.models import vgg
+        from wct_tpu.tools.normalize_encoder import (
+            channel_means,
+            normalize_encoder,
+        )
+
+        params = vgg.init_encoder_params(jax.random.PRNGKey(3))
+        pool = rng.random((6, 32, 32, 3)).astype(np.float32)
+        normed, report = normalize_encoder(params, pool, chunk=4)
+
+        after = channel_means(normed, pool, chunk=4)
+        for name, m in after.items():
+            if name == "conv0":
+                continue  # preprocessing conv stays untouched
+            # channels at/near the dead floor keep scale 1 by design
+            live = m > 1e-2
+            np.testing.assert_allclose(m[live], 1.0, rtol=1e-2)
+        # conv0 untouched
+        np.testing.assert_array_equal(
+            np.asarray(normed["conv0"]["w"]), np.asarray(params["conv0"]["w"])
+        )
+        # first normalised layer is an exact per-channel rescale of the
+        # original (relu(s x) = s relu(x) for s > 0)
+        import jax.numpy as jnp
+
+        img = jnp.asarray(pool[:2])
+        f_orig = np.asarray(vgg.encode(params, img, "relu1_1"))
+        f_norm = np.asarray(vgg.encode(normed, img, "relu1_1"))
+        s = np.asarray(normed["conv1_1"]["w"]) / np.where(
+            np.asarray(params["conv1_1"]["w"]) == 0,
+            1.0,
+            np.asarray(params["conv1_1"]["w"]),
+        )
+        scale = s[0, 0, 0, :]  # per-output-channel
+        np.testing.assert_allclose(
+            f_norm, f_orig * scale[None, None, None, :], rtol=1e-4, atol=1e-5
+        )

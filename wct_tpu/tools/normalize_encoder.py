@@ -1,0 +1,174 @@
+"""Activation-normalise an encoder: mean post-ReLU activation → 1.
+
+    python -m wct_tpu.tools.normalize_encoder encoder.npz encoder_norm.npz \
+        [--images DIR | --synthetic-pool 64] [--size 128] [--seed 0]
+
+The reference's ``vgg_normalised.t7`` is the Gatys *activation-
+normalised* VGG-19: each conv's weights are rescaled so that the mean
+activation of every output channel over a dataset is exactly 1
+(SURVEY.md C5/§3.5 — this is why the reference's loss weights and eps
+constants work out of the box). Our He-random stand-in encoder lacks
+that property: its conv0 preprocessing emits O(100) values (255·BGR −
+ImageNet means) and He-init preserves that scale, so decoder training
+optimizes O(1e4) losses with tiny gradients relative to parameter
+scale — measured round 2: the relu1_1 decoder was still at pixel-MSE
+18.7 after 5000 steps against the unnormalised encoder.
+
+Procedure (exact, layer by layer in data-flow order): run a reference
+image pool through the already-normalised prefix, compute each output
+channel's mean post-ReLU activation, and scale that channel's weights
+and bias by its reciprocal. Positive scaling commutes with ReLU, so
+the network stays identical up to a per-channel diagonal — WCT/AdaIN
+statistics and decoder training all become O(1)-conditioned.
+
+``conv0`` (the preprocessing conv) is left untouched: in the t7 its
+weights ARE the documented RGB→scaled-BGR-minus-means transform, not a
+learned layer (reference model.py:~40, reconstructed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wct_tpu.models import vgg
+from wct_tpu.ops.convs import conv2d_reflect, maxpool2
+
+
+def channel_means(params: dict, pool: np.ndarray, chunk: int = 8) -> dict:
+    """Mean post-ReLU activation per channel of every conv, over ``pool``.
+
+    Streams the pool through the encoder in ``chunk``-image slices (one
+    layer's activations for the whole pool never materialize at once).
+    """
+    means: dict[str, np.ndarray] = {}
+    chunks = [pool[i : i + chunk] for i in range(0, len(pool), chunk)]
+    acts = [jnp.asarray(c, jnp.float32) for c in chunks]
+    for spec in vgg.ENCODER_LAYERS:
+        if spec[0] == "pool":
+            acts = [maxpool2(a) for a in acts]
+            continue
+        kind, name, *_ = spec
+        p = params[name]
+        outs = []
+        for a in acts:
+            y = conv2d_reflect(a, p["w"], p["b"])
+            if kind != "conv_pre":  # conv0 is linear (preprocessing)
+                y = jax.nn.relu(y)
+            outs.append(y)
+        acts = outs
+        # weighted by chunk size (last chunk may be short)
+        tot = sum(a.shape[0] * jnp.mean(a, axis=(0, 1, 2)) for a in acts)
+        means[name] = np.asarray(tot / len(pool))
+    return means
+
+
+def normalize_encoder(
+    params: dict, pool: np.ndarray, chunk: int = 8, floor: float = 1e-4
+) -> tuple[dict, dict]:
+    """Return (normalised params, report). Layer-sequential and exact:
+    each layer's scale is computed on activations produced by the
+    already-normalised prefix, so afterwards EVERY conv's channels have
+    mean activation 1 over the pool (up to fp roundoff)."""
+    out = {k: dict(v) for k, v in params.items()}
+    report: dict[str, dict] = {}
+    chunks = [pool[i : i + chunk] for i in range(0, len(pool), chunk)]
+    acts = [jnp.asarray(c, jnp.float32) for c in chunks]
+    for spec in vgg.ENCODER_LAYERS:
+        if spec[0] == "pool":
+            acts = [maxpool2(a) for a in acts]
+            continue
+        kind, name, *_ = spec
+        p = out[name]
+        ys = []
+        for a in acts:
+            y = conv2d_reflect(a, p["w"], p["b"])
+            if kind != "conv_pre":
+                y = jax.nn.relu(y)
+            ys.append(y)
+        if kind == "conv_pre":  # leave the preprocessing conv alone
+            acts = ys
+            continue
+        tot = sum(y.shape[0] * jnp.mean(y, axis=(0, 1, 2)) for y in ys)
+        mean = np.asarray(tot / len(pool), np.float32)
+        # Dead channels (ReLU never fires on the pool) keep scale 1 —
+        # amplifying noise by 1/0 would be worse than leaving them.
+        scale = np.where(mean > floor, 1.0 / np.maximum(mean, floor), 1.0)
+        s = jnp.asarray(scale, jnp.float32)
+        out[name] = {
+            "w": (p["w"].astype(jnp.float32) * s[None, None, None, :]),
+            "b": (p["b"].astype(jnp.float32) * s),
+        }
+        # scale>0 commutes with ReLU: relu(s·x) = s·relu(x)
+        acts = [y * s[None, None, None, :] for y in ys]
+        report[name] = {
+            "mean_before": float(mean.mean()),
+            "dead_channels": int((mean <= floor).sum()),
+        }
+    return out, report
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
+    )
+    p.add_argument("encoder", help="input encoder npz (flat or {'encoder': ...})")
+    p.add_argument("out", help="output npz ({'encoder': ...})")
+    p.add_argument("--images", default=None, help="reference image dir")
+    p.add_argument("--synthetic-pool", type=int, default=64,
+                   help="procedural pool size when no --images")
+    p.add_argument("--size", type=int, default=128)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--chunk", type=int, default=8)
+    args = p.parse_args(argv)
+
+    from wct_tpu.train import checkpoint
+
+    tree = checkpoint.load_pytree(args.encoder)
+    params = tree["encoder"] if "encoder" in tree else tree
+
+    if args.images:
+        from wct_tpu.utils import images as img_utils
+
+        paths = img_utils.list_images(args.images)
+        if not paths:
+            print(f"no images under {args.images}", file=sys.stderr)
+            return 1
+        pool = np.stack([
+            img_utils.center_crop(
+                img_utils.resize_to(img_utils.get_img(f), args.size), args.size
+            )
+            for f in paths[: args.synthetic_pool]
+        ])
+    else:
+        from wct_tpu.train.data import synthetic_image
+
+        rng = np.random.default_rng(args.seed)
+        pool = np.stack([
+            synthetic_image(rng, args.size) for _ in range(args.synthetic_pool)
+        ])
+
+    normed, report = normalize_encoder(params, pool, chunk=args.chunk)
+    for name, r in report.items():
+        print(f"{name:<10} mean activation {r['mean_before']:>10.3f} → 1.0"
+              f"  (dead channels: {r['dead_channels']})")
+
+    after = channel_means(normed, pool, chunk=args.chunk)
+    worst = max(
+        abs(float(np.mean(m)) - 1.0)
+        for n, m in after.items() if n != "conv0"
+    )
+    print(f"post-check: worst |mean−1| over conv layers = {worst:.2e}")
+
+    checkpoint.save_pytree(args.out, {"encoder": normed})
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
