@@ -27,6 +27,11 @@ checkpoint.save_pytree("$OUT/encoder.npz",
                        {"encoder": vgg.init_encoder_params(jax.random.PRNGKey(0))})
 print("encoder saved -> $OUT/encoder.npz")
 PY
+  # Gatys activation normalisation (mean post-ReLU activation 1 per
+  # channel, like the reference's vgg_normalised.t7) — load-bearing for
+  # decoder-training conditioning, measured in DESIGN.md §4b.
+  python -m wct_tpu.tools.normalize_encoder \
+    "$OUT/encoder.npz" "$OUT/encoder.npz" --synthetic-pool 64 --size 256
 fi
 
 # Shallow decoders (few layers) converge quickly; deeper ones get more
