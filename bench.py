@@ -61,7 +61,7 @@ def main() -> None:
     # runnable on a fresh clone).
     from pathlib import Path
 
-    bundle = Path(__file__).parent / "ckpt_r2" / "bundle.npz"
+    bundle = Path(__file__).parent / "weights" / "bundle.npz"
     if bundle.exists():
         from wct_tpu.train.checkpoint import load_pytree
 

@@ -27,11 +27,11 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-BUNDLE = Path(__file__).resolve().parent.parent / "ckpt_r2" / "bundle.npz"
+BUNDLE = Path(__file__).resolve().parent.parent / "weights" / "bundle.npz"
 
 pytestmark = pytest.mark.skipif(
     not BUNDLE.exists(),
-    reason="trained bundle ckpt_r2/bundle.npz not present",
+    reason="trained bundle weights/bundle.npz not present",
 )
 
 SIZE = 96  # %16-aligned so the pack2/fused eligibility gates admit it
