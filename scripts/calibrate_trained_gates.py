@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Measure everything tests/test_trained_fidelity.py asserts on.
+
+    python scripts/calibrate_trained_gates.py [--bundle weights/bundle.npz]
+        [--size 96] [--cpu]
+
+Prints the measured statistics (oracle deviation distribution,
+throughput-config deviation vs the f32+eigh path and its envelope
+multiple, per-level reconstruction PSNR) so the test bounds can be set
+with explicit headroom against real numbers instead of guesses. Run
+after every retrain; record the output in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--bundle", default=str(REPO / "weights" / "bundle.npz"))
+    p.add_argument("--size", type=int, default=96)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wct_tpu.cli.common import enable_compile_cache
+    from wct_tpu.models import cascade, decoder as dec_lib, vgg
+    from wct_tpu.tools.oracle import cascade_np
+    from wct_tpu.train import checkpoint
+    from wct_tpu.train.data import synthetic_image
+
+    enable_compile_cache()
+    params = checkpoint.load_pytree(args.bundle)
+    rng = np.random.default_rng(9)  # same seed as the test
+    size = args.size
+    content = rng.random((size, size, 3)).astype(np.float32)
+    style = rng.random((size, size, 3)).astype(np.float32)
+
+    # -- gate 1: trained cascade vs float64 oracle --
+    cfg = cascade.CascadeConfig()
+    ours = np.asarray(cascade.stylize_pair(
+        params, jnp.asarray(content), jnp.asarray(style), 0.8, cfg))
+    ref = cascade_np(params, content, style, 0.8, cfg.relu_targets)
+    d = np.abs(ours.astype(np.float64) - ref.astype(np.float64))
+    print(f"[gate1 oracle]   median {np.median(d):.3e}  "
+          f"q99 {np.quantile(d, 0.99):.3e}  max {d.max():.3e}")
+
+    # -- gate 2: throughput config vs fidelity path --
+    def run(c):
+        cache = cascade.precompute_style(params["encoder"], jnp.asarray(style), c)
+        c2 = jnp.asarray(np.stack([content, content]))
+        return np.asarray(cascade.stylize(params, c2, cache, 0.8, c)[0],
+                          np.float32)
+
+    fid = run(cascade.CascadeConfig(compute_dtype="float32", method="eigh"))
+    fast = run(cascade.CascadeConfig(
+        compute_dtype="bfloat16", method="newton_schulz_fast",
+        pack2_junction=True))
+    oracle = cascade_np(params, content, style, 0.8,
+                        cascade.DEFAULT_TARGETS).astype(np.float32)
+    env = np.abs(fid.astype(np.float64) - oracle.astype(np.float64))
+    dev = np.abs(fast.astype(np.float64) - fid.astype(np.float64))
+    mse = float(np.mean(dev ** 2))
+    psnr = float("inf") if mse == 0 else 10 * np.log10(1.0 / mse)
+    k = np.quantile(dev, 0.99) / max(np.quantile(env, 0.99), 1e-9)
+    print(f"[gate2 envelope] env q99 {np.quantile(env, 0.99):.3e}  "
+          f"dev q99 {np.quantile(dev, 0.99):.3e}  K {k:.1f}  "
+          f"PSNR {psnr:.1f} dB  dev max {dev.max():.3e}")
+
+    # -- gate 3: per-level reconstruction PSNR (test's exact recipe) --
+    rng3 = np.random.default_rng(424242)
+    batch = np.stack([synthetic_image(rng3, size) for _ in range(4)])
+    jbatch = jnp.asarray(batch)
+    for t in sorted(params["decoders"], key=lambda t: t[4]):
+        code = vgg.encode(params["encoder"], jbatch, t)
+        decoded = np.asarray(dec_lib.decode(params["decoders"][t], code, t))
+        m = np.mean((np.clip(decoded, 0, 1).astype(np.float64) - batch) ** 2)
+        print(f"[gate3 psnr]     {t}: {10 * np.log10(1.0 / m):.2f} dB")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
