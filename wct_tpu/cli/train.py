@@ -73,6 +73,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--pixel-weight", type=float, default=1.0)
     p.add_argument("--feature-weight", type=float, default=1.0)
     p.add_argument(
+        "--grad-clip", type=float, default=0.0,
+        help="global-norm gradient clip (0 = off); stateless, so "
+        "--resume across a clip change keeps the Adam moments",
+    )
+    p.add_argument(
         "--feature-norm", action="store_true",
         help="normalize the feature L2 by the target features' mean "
         "square (scale-free; ~no-op for the reference's normalised VGG, "
@@ -113,6 +118,7 @@ def main(argv=None) -> None:
         pixel_weight=args.pixel_weight,
         feature_weight=args.feature_weight,
         feature_norm=args.feature_norm,
+        grad_clip=args.grad_clip,
         tv_weight=args.tv_weight,
         crop_size=args.crop_size,
         max_iter=args.max_iter,
