@@ -55,7 +55,16 @@ def main(argv=None) -> int:
     ref = cascade_np(params, content, style, 0.8, cfg.relu_targets)
     d = np.abs(ours.astype(np.float64) - ref.astype(np.float64))
     print(f"[gate1 oracle]   median {np.median(d):.3e}  "
-          f"q99 {np.quantile(d, 0.99):.3e}  max {d.max():.3e}")
+          f"q99 {np.quantile(d, 0.99):.3e}  max {d.max():.3e}  "
+          f"frac>0.05 {(d > 0.05).mean():.4f}")
+    for a in (0.0, 0.4):
+        o_a = np.asarray(cascade.stylize_pair(
+            params, jnp.asarray(content), jnp.asarray(style), a, cfg))
+        r_a = cascade_np(params, content, style, a, cfg.relu_targets)
+        da = np.abs(o_a.astype(np.float64) - r_a.astype(np.float64))
+        print(f"[gate1 alpha={a}] median {np.median(da):.3e}  "
+              f"q99 {np.quantile(da, 0.99):.3e}  max {da.max():.3e}  "
+              f"frac>0.05 {(da > 0.05).mean():.4f}")
 
     # -- gate 2: throughput config vs fidelity path --
     def run(c):
@@ -77,7 +86,9 @@ def main(argv=None) -> int:
     k = np.quantile(dev, 0.99) / max(np.quantile(env, 0.99), 1e-9)
     print(f"[gate2 envelope] env q99 {np.quantile(env, 0.99):.3e}  "
           f"dev q99 {np.quantile(dev, 0.99):.3e}  K {k:.1f}  "
-          f"PSNR {psnr:.1f} dB  dev max {dev.max():.3e}")
+          f"PSNR {psnr:.1f} dB  dev max {dev.max():.3e}  "
+          f"dev frac>0.05 {(dev > 0.05).mean():.4f}  "
+          f"env frac>0.05 {(env > 0.05).mean():.4f}")
 
     # -- gate 3: per-level reconstruction PSNR (test's exact recipe) --
     rng3 = np.random.default_rng(424242)
