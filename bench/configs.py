@@ -160,7 +160,9 @@ def main() -> None:
         n_out += 1
     piped_fps = n_out / (time.perf_counter() - t0)
     record("5_stream_720p_engine_host_io", strict_fps=strict_fps,
-           pipelined_fps=piped_fps)
+           pipelined_fps=piped_fps,
+           note="axon-tunnel-bound: 11 MB/frame f32 H2D at ~27 MB/s "
+                "dominates; a local TPU host moves this in <1 ms")
 
     # frame_batch=2: consecutive-frame pairing (one dispatch per pair;
     # with pack2-eligible configs the pair also rides the image-pair
@@ -180,7 +182,9 @@ def main() -> None:
     while eng2.collect() is not None:
         n_out += 1
     pair_fps = n_out / (time.perf_counter() - t0)
-    record("5_stream_720p_engine_frame_batch2", pipelined_fps=pair_fps)
+    record("5_stream_720p_engine_frame_batch2", pipelined_fps=pair_fps,
+           note="tunnel-bound like host_io; pairing helps only when "
+                "dispatch overhead or lane padding binds, not H2D")
 
     log("summary: " + json.dumps(results))
 
