@@ -16,7 +16,7 @@ Measurement notes (hard-won — see .claude/skills/verify/SKILL.md):
 - The tunnel has a ~27 ms round-trip floor per synced call. Throughput
   is therefore measured by enqueueing K distinct pre-uploaded batches
   and syncing ONCE on the last output: frames = K·B / elapsed.
-- Weights: the trained round-2 bundle when present (ckpt_r2/
+- Weights: the shipped trained bundle when present (weights/
   bundle.npz), else random init — conv/eigh/NS FLOPs are
   weight-independent, so the number is the same either way.
 """

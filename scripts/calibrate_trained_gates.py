@@ -73,6 +73,22 @@ def main(argv=None) -> int:
         return np.asarray(cascade.stylize(params, c2, cache, 0.8, c)[0],
                           np.float32)
 
+    # per-level: both the eigensolver-tolerance envelope and the
+    # throughput-config deviation (what the per-level tests gate)
+    for lvl in ("relu1_1", "relu2_1", "relu3_1", "relu4_1", "relu5_1"):
+        fid_l = run(cascade.CascadeConfig(
+            relu_targets=(lvl,), compute_dtype="float32", method="eigh"))
+        fast_l = run(cascade.CascadeConfig(
+            relu_targets=(lvl,), compute_dtype="bfloat16",
+            method="newton_schulz_fast", pack2_junction=True))
+        orc_l = cascade_np(params, content, style, 0.8, (lvl,)).astype(
+            np.float32)
+        e = np.abs(fid_l.astype(np.float64) - orc_l.astype(np.float64))
+        v = np.abs(fast_l.astype(np.float64) - fid_l.astype(np.float64))
+        print(f"[level {lvl}] env q99 {np.quantile(e, 0.99):.2e} "
+              f"max {e.max():.2e} | fast-dev q99 {np.quantile(v, 0.99):.2e} "
+              f"max {v.max():.2e}")
+
     fid = run(cascade.CascadeConfig(compute_dtype="float32", method="eigh"))
     fast = run(cascade.CascadeConfig(
         compute_dtype="bfloat16", method="newton_schulz_fast",
@@ -88,7 +104,8 @@ def main(argv=None) -> int:
           f"dev q99 {np.quantile(dev, 0.99):.3e}  K {k:.1f}  "
           f"PSNR {psnr:.1f} dB  dev max {dev.max():.3e}  "
           f"dev frac>0.05 {(dev > 0.05).mean():.4f}  "
-          f"env frac>0.05 {(env > 0.05).mean():.4f}")
+          f"env frac>0.05 {(env > 0.05).mean():.4f}  "
+          f"dev median {np.median(dev):.3e}")
 
     # -- gate 3: per-level reconstruction PSNR (test's exact recipe) --
     rng3 = np.random.default_rng(424242)

@@ -18,20 +18,24 @@ mkdir -p "$OUT"
 
 if [[ ! -f "$OUT/encoder.npz" ]]; then
   # The SAME encoder weights every decoder trains against and the
-  # bundle ships (seeded, reproducible).
+  # bundle ships (seeded, reproducible). Raw init goes to a temp name;
+  # $OUT/encoder.npz only appears after normalisation succeeds, so a
+  # failed/interrupted first run can never leave a rerun silently
+  # training against an unnormalised encoder (the DESIGN §4b failure).
   python - <<PY
 import jax
 from wct_tpu.models import vgg
 from wct_tpu.train import checkpoint
-checkpoint.save_pytree("$OUT/encoder.npz",
+checkpoint.save_pytree("$OUT/encoder_raw.npz",
                        {"encoder": vgg.init_encoder_params(jax.random.PRNGKey(0))})
-print("encoder saved -> $OUT/encoder.npz")
+print("raw encoder saved -> $OUT/encoder_raw.npz")
 PY
   # Gatys activation normalisation (mean post-ReLU activation 1 per
   # channel, like the reference's vgg_normalised.t7) — load-bearing for
   # decoder-training conditioning, measured in DESIGN.md §4b.
   python -m wct_tpu.tools.normalize_encoder \
-    "$OUT/encoder.npz" "$OUT/encoder.npz" --synthetic-pool 64 --size 256
+    "$OUT/encoder_raw.npz" "$OUT/encoder.npz" --synthetic-pool 64 --size 256
+  rm -f "$OUT/encoder_raw.npz"
 fi
 
 # Shallow decoders (few layers) converge quickly; deeper ones get more

@@ -87,7 +87,18 @@ def test_single_level_within_eigensolver_tolerance(setup):
     from wct_tpu.tools.oracle import cascade_np
 
     params, content, style = setup
-    for lvl in ("relu1_1", "relu2_1", "relu3_1"):
+    # relu4_1 at this test size is rank-deficient (144 pixels vs 512
+    # channels → the truncation mask bites): measured q99 1.7e-3, own
+    # looser bound. relu5_1 is NOT gated: its 6×6×512 features drive
+    # the 8-dB decoder so far out of range that every config clips to
+    # identical rails (measured deviation exactly 0 — vacuous).
+    bounds = {
+        "relu1_1": (1e-3, 5e-3),
+        "relu2_1": (1e-3, 5e-3),
+        "relu3_1": (1e-3, 5e-3),
+        "relu4_1": (1e-2, 3e-2),
+    }
+    for lvl, (bq99, bmax) in bounds.items():
         cfg = cascade.CascadeConfig(
             relu_targets=(lvl,), compute_dtype="float32", method="eigh"
         )
@@ -95,8 +106,8 @@ def test_single_level_within_eigensolver_tolerance(setup):
             params, jnp.asarray(content), jnp.asarray(style), 0.8, cfg))
         ref = cascade_np(params, content, style, 0.8, (lvl,))
         d = np.abs(ours.astype(np.float64) - ref.astype(np.float64))
-        assert np.quantile(d, 0.99) < 1e-3, (lvl, np.quantile(d, 0.99))
-        assert d.max() < 5e-3, (lvl, d.max())
+        assert np.quantile(d, 0.99) < bq99, (lvl, np.quantile(d, 0.99))
+        assert d.max() < bmax, (lvl, d.max())
 
 
 def test_throughput_config_single_level_deviation(setup):
@@ -113,7 +124,8 @@ def test_throughput_config_single_level_deviation(setup):
     from wct_tpu.models import cascade
 
     params, content, style = setup
-    bounds = {"relu1_1": 0.1, "relu2_1": 0.15, "relu3_1": 0.3}
+    bounds = {"relu1_1": 0.1, "relu2_1": 0.15, "relu3_1": 0.3,
+              "relu4_1": 0.4}  # relu4_1 measured 2.1e-1; relu5_1 vacuous
 
     def run(c):
         cache = cascade.precompute_style(
@@ -157,6 +169,26 @@ def test_full_stylized_distribution_recorded(setup):
     d = np.abs(ours.astype(np.float64) - ref.astype(np.float64))
     assert np.median(d) < 0.2, f"median {np.median(d):.3f}"
     assert (d > 0.05).mean() < 0.75, f"frac {(d > 0.05).mean():.3f}"
+
+    # The HEADLINE config's full-cascade composition, same treatment
+    # (measured vs the f32+eigh full cascade: median 0.236, frac 0.72)
+    # — catches a cross-level regression specific to NS-fast/pack2.
+    def run(c):
+        cache = cascade.precompute_style(
+            params["encoder"], jnp.asarray(style), c
+        )
+        c2 = jnp.asarray(np.stack([content, content]))
+        return np.asarray(
+            cascade.stylize(params, c2, cache, 0.8, c)[0], np.float32
+        )
+
+    fid = run(cascade.CascadeConfig(compute_dtype="float32", method="eigh"))
+    fast = run(cascade.CascadeConfig(
+        compute_dtype="bfloat16", method="newton_schulz_fast",
+        pack2_junction=True))
+    dev = np.abs(fast.astype(np.float64) - fid.astype(np.float64))
+    assert np.median(dev) < 0.4, f"median {np.median(dev):.3f}"
+    assert (dev > 0.05).mean() < 0.85, f"frac {(dev > 0.05).mean():.3f}"
 
 
 def test_decoder_reconstruction_psnr_floors(setup):

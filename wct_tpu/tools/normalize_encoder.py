@@ -18,8 +18,13 @@ Procedure (exact, layer by layer in data-flow order): run a reference
 image pool through the already-normalised prefix, compute each output
 channel's mean post-ReLU activation, and scale that channel's weights
 and bias by its reciprocal. Positive scaling commutes with ReLU, so
-the network stays identical up to a per-channel diagonal — WCT/AdaIN
-statistics and decoder training all become O(1)-conditioned.
+each layer's rescale is exactly a per-channel diagonal of ITS OWN
+output — but the diagonals compose through the next layer's weights,
+so deep features are a genuinely different (well-conditioned)
+function of the input, NOT a rescale of the original deep features.
+Decoders must be (re)trained against the normalised encoder;
+pre-normalisation checkpoints do not transfer. WCT/AdaIN statistics
+and decoder training all become O(1)-conditioned.
 
 ``conv0`` (the preprocessing conv) is left untouched: in the t7 its
 weights ARE the documented RGB→scaled-BGR-minus-means transform, not a
@@ -43,8 +48,11 @@ from wct_tpu.ops.convs import conv2d_reflect, maxpool2
 def channel_means(params: dict, pool: np.ndarray, chunk: int = 8) -> dict:
     """Mean post-ReLU activation per channel of every conv, over ``pool``.
 
-    Streams the pool through the encoder in ``chunk``-image slices (one
-    layer's activations for the whole pool never materialize at once).
+    The pool is processed in ``chunk``-image slices, but one layer's
+    activations for the WHOLE pool are held at once (layer-sequential
+    normalisation needs them): peak memory ≈ the widest tier's
+    activations for the pool, ~1 GB at 64 images × 256px × 64ch f32.
+    Size the pool/resolution accordingly.
     """
     means: dict[str, np.ndarray] = {}
     chunks = [pool[i : i + chunk] for i in range(0, len(pool), chunk)]
@@ -56,7 +64,8 @@ def channel_means(params: dict, pool: np.ndarray, chunk: int = 8) -> dict:
         kind, name, *_ = spec
         p = params[name]
         outs = []
-        for a in acts:
+        while acts:  # consume as we go: avoids 2x peak during overlap
+            a = acts.pop(0)
             y = conv2d_reflect(a, p["w"], p["b"])
             if kind != "conv_pre":  # conv0 is linear (preprocessing)
                 y = jax.nn.relu(y)
@@ -86,7 +95,8 @@ def normalize_encoder(
         kind, name, *_ = spec
         p = out[name]
         ys = []
-        for a in acts:
+        while acts:  # consume as we go: avoids 2x peak during overlap
+            a = acts.pop(0)
             y = conv2d_reflect(a, p["w"], p["b"])
             if kind != "conv_pre":
                 y = jax.nn.relu(y)
@@ -131,6 +141,16 @@ def main(argv=None) -> int:
 
     tree = checkpoint.load_pytree(args.encoder)
     params = tree["encoder"] if "encoder" in tree else tree
+    # Preserve everything else in the input tree (e.g. a full bundle's
+    # decoders) — though note decoders trained against the
+    # UNNORMALISED encoder do not transfer (module docstring).
+    extras = {
+        k: v for k, v in tree.items() if k != "encoder"
+    } if "encoder" in tree else {}
+    if extras:
+        print(f"note: passing through non-encoder keys {sorted(extras)}; "
+              "decoders trained against the unnormalised encoder must be "
+              "retrained", file=sys.stderr)
 
     if args.images:
         from wct_tpu.utils import images as img_utils
@@ -165,7 +185,7 @@ def main(argv=None) -> int:
     )
     print(f"post-check: worst |mean−1| over conv layers = {worst:.2e}")
 
-    checkpoint.save_pytree(args.out, {"encoder": normed})
+    checkpoint.save_pytree(args.out, {"encoder": normed, **extras})
     print(f"wrote {args.out}")
     return 0
 

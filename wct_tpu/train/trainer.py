@@ -140,6 +140,8 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 def clip_grads(grads, cfg: TrainConfig):
     """Stateless global-norm clip (no-op when cfg.grad_clip == 0)."""
+    if cfg.grad_clip < 0:
+        raise ValueError(f"grad_clip must be >= 0, got {cfg.grad_clip}")
     if not cfg.grad_clip:
         return grads
     gnorm = optax.global_norm(grads)
