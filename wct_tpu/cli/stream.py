@@ -148,6 +148,11 @@ def main(argv=None) -> None:
 
     n = 0
     t_start = time.perf_counter()
+    # Sustained-fps clock starts at the FIRST DELIVERED frame, not at
+    # t_start — t_start includes JIT compile and pipeline priming, which
+    # materially understates steady-state throughput (ADVICE r2).
+    t_first = None
+    n_first = 0
     try:
         while not source.stopped:
             frame_bgr = source.read()
@@ -181,10 +186,14 @@ def main(argv=None) -> None:
             if writer is not None:
                 writer.write(out_bgr)
             n += 1
+            if t_first is None:
+                t_first = time.perf_counter()
+                n_first = n
             if n % 30 == 0:
                 if dt is None:
-                    fps = n / (time.perf_counter() - t_start)
-                    print(f"frame {n}: {fps:.1f} fps sustained (pipelined)")
+                    if n > n_first:
+                        fps = (n - n_first) / (time.perf_counter() - t_first)
+                        print(f"frame {n}: {fps:.1f} fps sustained (pipelined)")
                 else:
                     print(f"frame {n}: {dt * 1000:.0f} ms ({1 / dt:.1f} fps)")
 
@@ -228,7 +237,11 @@ def main(argv=None) -> None:
                 )
             n += 1
         elapsed = time.perf_counter() - t_start
-        print(f"{n} frames in {elapsed:.1f}s = {n / max(elapsed, 1e-9):.1f} fps")
+        print(f"{n} frames in {elapsed:.1f}s = {n / max(elapsed, 1e-9):.1f} fps "
+              "(wall clock incl. compile/priming)")
+        if t_first is not None and n > n_first:
+            steady = (n - n_first) / (time.perf_counter() - t_first)
+            print(f"steady-state (from first delivered frame): {steady:.1f} fps")
         source.stop()
         if writer is not None:
             writer.release()

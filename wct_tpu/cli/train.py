@@ -57,6 +57,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "omit for random encoder (smoke test)")
     p.add_argument("--checkpoint-dir", required=True)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--init-decoder", default=None,
+                   help="npz with decoder init params (a single decoder "
+                        "tree, or {relu_target: tree} as written by "
+                        "scripts/solve_layerwise.py); applies at step 0 "
+                        "only — --resume takes precedence")
     p.add_argument("--ckpt-format", choices=["npz", "orbax"], default="npz",
                    help="training-state backend: npz = single "
                         "state_latest.npz; orbax = step-indexed dirs "
@@ -132,6 +137,19 @@ def main(argv=None) -> None:
     enc_params = _load_encoder(args)
 
     state = init_train_state(jax.random.PRNGKey(args.seed + 1), cfg)
+    if args.init_decoder:
+        # Closed-form layerwise init (train/layerwise.py): fresh Adam
+        # moments over the solved params. A later --resume restore
+        # overrides this (the resumed state already embeds it).
+        tree = checkpoint.load_pytree(args.init_decoder)
+        if args.relu_target in tree:
+            tree = tree[args.relu_target]
+        state = TrainState(
+            params=tree,
+            opt_state=make_optimizer(cfg).init(tree),
+            step=jax.numpy.int32(0),
+        )
+        print(f"[train] initialized decoder from {args.init_decoder}")
     start_step = 0
     ckptr = checkpoint.TrainCheckpointer(
         ckpt_dir, fmt=args.ckpt_format, keep=args.ckpt_keep
@@ -228,6 +246,12 @@ def main(argv=None) -> None:
     if use_device_pool and sharding is not None:
         # DP keeps the host prefetch path (the pool would need
         # per-device sharding); single-device gets the resident pool.
+        print(
+            "[train] NOTE: --synthetic-pool device residency is disabled "
+            "under --data-parallel (pool would need per-device sharding); "
+            "falling back to host prefetch — expect host-I/O-bound "
+            "throughput (ADVICE r2)"
+        )
         use_device_pool = False
         batches = synthetic_batches(
             cfg.batch_size, cfg.crop_size, args.seed,

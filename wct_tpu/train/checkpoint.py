@@ -64,7 +64,12 @@ def _maybe_listify(node: Any) -> Any:
 
 
 def save_pytree(path: str | os.PathLike, tree: Any) -> None:
-    """Save a pytree of arrays as one ``.npz`` (atomic via temp rename)."""
+    """Save a pytree of arrays as one ``.npz`` (atomic via temp rename).
+
+    Note: ``load_pytree``'s default ``upcast_f16=True`` means float16
+    leaves do NOT round-trip dtype through save/load — pass
+    ``upcast_f16=False`` on load when f16 storage must be preserved.
+    """
     path = str(path)
     host_tree = jax.device_get(tree)
     flat = _flatten(host_tree)
@@ -73,18 +78,22 @@ def save_pytree(path: str | os.PathLike, tree: Any) -> None:
     os.replace(tmp, path)
 
 
-def load_pytree(path: str | os.PathLike) -> Any:
+def load_pytree(path: str | os.PathLike, upcast_f16: bool = True) -> Any:
     """Load an ``.npz`` checkpoint back into a (nested-dict/list) pytree.
 
-    float16 leaves are upcast to float32 on load: f16 is a pure
-    STORAGE format here (``make_bundle --store-dtype float16`` halves
-    the committed artifact), nothing in the framework computes in f16,
-    and mixed f16/f32 dtypes would trip ``lax.conv`` dtype matching.
+    With ``upcast_f16=True`` (default) float16 leaves are upcast to
+    float32 on load: f16 is normally a pure STORAGE format here
+    (``make_bundle --store-dtype float16`` halves the committed
+    artifact), nothing in the framework computes in f16, and mixed
+    f16/f32 dtypes would trip ``lax.conv`` dtype matching. Callers that
+    need the stored dtypes verbatim (e.g. inspecting a converted
+    reference checkpoint) pass ``upcast_f16=False`` (ADVICE r2: the
+    unconditional upcast broke dtype round-tripping for ALL npz files).
     """
     with np.load(str(path)) as data:
         return _unflatten({
             k: (data[k].astype(np.float32)
-                if data[k].dtype == np.float16 else data[k])
+                if upcast_f16 and data[k].dtype == np.float16 else data[k])
             for k in data.files
         })
 

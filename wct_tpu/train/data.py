@@ -91,6 +91,29 @@ def batch_generator(
                 return
 
 
+def _fractal_noise(
+    rng: np.random.Generator, size: int, octaves: int = 5
+) -> np.ndarray:
+    """Multi-octave value noise ``[size, size, 3]`` roughly in [-1, 1].
+
+    Bilinearly-upsampled random grids at doubling frequencies with 1/f
+    amplitude falloff — the classic natural-image power spectrum that a
+    plaid background cannot provide (round-3 pool-richness work,
+    VERDICT r2 next-round item 1).
+    """
+    import cv2
+
+    out = np.zeros((size, size, 3), np.float32)
+    amp = 1.0
+    cells = 4
+    for _ in range(octaves):
+        grid = rng.standard_normal((cells + 1, cells + 1, 3)).astype(np.float32)
+        out += amp * cv2.resize(grid, (size, size), interpolation=cv2.INTER_LINEAR)
+        amp *= 0.55
+        cells = min(cells * 2, size)
+    return out / 2.2
+
+
 def synthetic_image(
     rng: np.random.Generator, size: int, _grids: dict = {}
 ) -> np.ndarray:
@@ -99,42 +122,78 @@ def synthetic_image(
     Decoder training needs feature-space COVERAGE (edges at all
     orientations, flat regions, texture, color gradients) — a pure
     sinusoid plaid exercises only smooth low frequencies and trains
-    decoders that cannot reconstruct edges. Layers composited here:
-    plaid background + linear color gradient, 2–6 soft-edged random
-    ellipses/rectangles (step edges), occasional high-frequency
-    checker patch (texture), and low-amplitude pixel noise.
+    decoders that cannot reconstruct edges. Round-3 revision (richer
+    pool, VERDICT r2 item 1) composites: a background drawn from
+    {plaid, multi-octave fractal noise, smooth two-corner gradient};
+    3–8 shapes from {soft ellipse, rectangle, rotated stripe band,
+    convex polygon}; occasional checker or oriented-sinusoid texture
+    patch; low-amplitude pixel noise.
     """
     if size not in _grids:
         _grids[size] = np.mgrid[0:size, 0:size].astype(np.float32) / size
     yy, xx = _grids[size]
 
-    f = rng.uniform(1, 10, size=(2, 3)).astype(np.float32)
-    ph = rng.uniform(0, 6.28, size=(2, 3)).astype(np.float32)
-    img = 0.5 + 0.18 * (
-        np.sin(f[0] * 6.28 * yy[:, :, None] + ph[0])
-        + np.sin(f[1] * 6.28 * xx[:, :, None] + ph[1])
-    )
+    bg = rng.random()
+    if bg < 0.4:  # plaid (the v1 background)
+        f = rng.uniform(1, 10, size=(2, 3)).astype(np.float32)
+        ph = rng.uniform(0, 6.28, size=(2, 3)).astype(np.float32)
+        img = 0.5 + 0.18 * (
+            np.sin(f[0] * 6.28 * yy[:, :, None] + ph[0])
+            + np.sin(f[1] * 6.28 * xx[:, :, None] + ph[1])
+        )
+    elif bg < 0.75:  # fractal value noise around a random base color
+        base = rng.uniform(0.25, 0.75, 3).astype(np.float32)
+        img = base + rng.uniform(0.1, 0.3) * _fractal_noise(rng, size)
+    else:  # smooth bilinear gradient between four corner colors
+        corners = rng.uniform(0, 1, (2, 2, 3)).astype(np.float32)
+        img = (
+            corners[0, 0] * ((1 - yy) * (1 - xx))[:, :, None]
+            + corners[0, 1] * ((1 - yy) * xx)[:, :, None]
+            + corners[1, 0] * (yy * (1 - xx))[:, :, None]
+            + corners[1, 1] * (yy * xx)[:, :, None]
+        )
     # linear color gradient (global illumination variety)
     g = rng.uniform(-0.3, 0.3, size=(2, 3)).astype(np.float32)
     img += g[0] * (yy[:, :, None] - 0.5) + g[1] * (xx[:, :, None] - 0.5)
 
-    for _ in range(rng.integers(2, 7)):
+    for _ in range(rng.integers(3, 9)):
         cy, cx = rng.uniform(0.1, 0.9, 2)
         ry, rx = rng.uniform(0.05, 0.35, 2)
         color = rng.uniform(0, 1, 3).astype(np.float32)
-        if rng.random() < 0.5:  # soft-edged ellipse
+        kind = rng.random()
+        if kind < 0.35:  # soft-edged ellipse
             d = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2
             mask = np.clip((1.0 - d) * rng.uniform(4, 40), 0.0, 1.0)
-        else:  # soft-edged rectangle
+        elif kind < 0.65:  # soft-edged rectangle
             sharp = rng.uniform(20, 200)
             mask = (
                 np.clip((ry - np.abs(yy - cy)) * sharp, 0, 1)
                 * np.clip((rx - np.abs(xx - cx)) * sharp, 0, 1)
             )
+        elif kind < 0.82:  # rotated stripe band (edges at any orientation)
+            th = rng.uniform(0, np.pi)
+            proj = np.cos(th) * (xx - cx) + np.sin(th) * (yy - cy)
+            freq = rng.uniform(3, 25)
+            duty = rng.uniform(-0.5, 0.5)
+            stripes = np.clip(
+                (np.sin(freq * 6.2832 * proj) - duty) * rng.uniform(5, 60), 0, 1
+            )
+            extent = np.clip((ry * 1.5 - np.abs(proj)) * 20, 0, 1)
+            mask = stripes * extent
+        else:  # convex polygon: intersection of 3–5 soft half-planes
+            mask = np.ones_like(yy)
+            sharp = rng.uniform(30, 250)
+            for th in np.sort(rng.uniform(0, 2 * np.pi, int(rng.integers(3, 6)))):
+                d = (
+                    np.cos(th) * (xx - cx) + np.sin(th) * (yy - cy)
+                    - rng.uniform(0.05, 0.3)
+                )
+                mask = mask * np.clip(-d * sharp, 0, 1)
         alpha = mask[:, :, None] * rng.uniform(0.5, 1.0)
         img = img * (1 - alpha) + color * alpha
 
-    if rng.random() < 0.3:  # high-frequency checker patch
+    tex = rng.random()
+    if tex < 0.3:  # high-frequency checker patch
         k = int(rng.integers(2, 8))
         checker = ((yy * size // k).astype(int) + (xx * size // k).astype(int)) % 2
         cy, cx = rng.uniform(0.2, 0.8, 2)
@@ -142,6 +201,14 @@ def synthetic_image(
         inside = ((yy - cy) ** 2 + (xx - cx) ** 2) < r * r
         amp = rng.uniform(0.2, 0.5)
         img += (inside * checker * amp - inside * amp / 2)[:, :, None]
+    elif tex < 0.5:  # oriented sinusoid texture patch
+        th = rng.uniform(0, np.pi)
+        freq = rng.uniform(10, 60)
+        cy, cx = rng.uniform(0.2, 0.8, 2)
+        r = rng.uniform(0.1, 0.35)
+        inside = np.clip((r * r - ((yy - cy) ** 2 + (xx - cx) ** 2)) * 200, 0, 1)
+        wave = np.sin(freq * 6.2832 * (np.cos(th) * xx + np.sin(th) * yy))
+        img += (inside * wave * rng.uniform(0.1, 0.3))[:, :, None]
 
     img += rng.normal(0, 0.01, img.shape).astype(np.float32)
     return np.clip(img, 0.0, 1.0).astype(np.float32)

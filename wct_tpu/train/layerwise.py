@@ -1,0 +1,314 @@
+"""Closed-form decoder initialization by layerwise ridge inversion.
+
+Round-3 training core (VERDICT r2 next-round item 1). Every decoder
+conv is the mirror of one encoder conv (models/decoder.py derives the
+spec by walking ``vgg.ENCODER_LAYERS`` backwards), and each mirror conv
+is LINEAR in its input patches — so its MSE-optimal weights, given the
+input distribution it sees at init (teacher-forced encoder
+activations), are a ridge-regression solve:
+
+    minimize  ||P w − Y||² + λ‖w‖²   ⇒   w = (PᵀP + λI)⁻¹ PᵀY
+
+with ``P`` the reflect-padded 3×3 patch matrix of the conv's input and
+``Y`` the activation it must reproduce. Measured motivation: Adam from
+He-init plateaus at 20 dB on the relu1_1 decoder after 6k steps, while
+the ridge solve of the SAME architecture reaches 43 dB
+(scripts/exp_linear_decoder.py) — the patch Gram is too ill-conditioned
+for first-order methods to traverse.
+
+Thirteen distinct regressions cover all five decoders (shared mirrors
+are solved once):
+
+- mirror of conv ``c`` regresses ``c``'s input activation from patches
+  of ``c``'s output activation (both teacher-forced from the encoder);
+- when the encoder pools immediately after ``c``, the decoder sees the
+  2× nearest-upsampled pooled map instead, so the regression input is
+  ``upsample(pool(out_c))`` — the exact distribution the decoder conv
+  receives at init;
+- the mirror of conv1_1 regresses the RGB image itself (decoders emit
+  RGB directly; the preprocessing conv0 is not mirrored).
+
+The Gram/moment accumulation is pure MXU work: one jitted step per
+batch updates every regression's (G, b) in place (donated), so the full
+statistics pass over a 1024-image pool costs seconds on a v5e. Solves
+run on host in float64 (the 4609² normal matrices are ill-conditioned;
+f32 Cholesky loses the tail modes that carry edge detail).
+
+TPU-first design note: this replaces nothing in the reference — the
+reference trains decoders with Adam only (train.py:~1-200,
+reconstructed) against the REAL VGG, whose trained features are
+well-conditioned for SGD. Inverting a stand-in encoder needs the
+closed form; it is also simply a better, faster initializer.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wct_tpu.models import vgg
+from wct_tpu.ops.convs import conv2d_reflect, maxpool2, upsample_nearest2
+
+
+def encoder_trace(enc_params: dict, x: jax.Array) -> dict[str, jax.Array]:
+    """All named encoder activations for ``x`` [B,H,W,3] in [0,1].
+
+    Returns {"input": x, conv_name: post-ReLU activation (post-linear
+    for conv0), pool_name: pooled map}.
+    """
+    acts: dict[str, jax.Array] = {"input": x}
+    h = x
+    for spec in vgg.ENCODER_LAYERS:
+        kind, name = spec[0], spec[1]
+        if kind == "pool":
+            h = maxpool2(h)
+        else:
+            p = enc_params[name]
+            h = conv2d_reflect(h, p["w"], p["b"])
+            if kind != "conv_pre":
+                h = jax.nn.relu(h)
+        acts[name] = h
+    return acts
+
+
+def regression_specs() -> list[dict]:
+    """One spec per decoder conv: name, d (patch+bias), in/out dims and
+    which traced activations form (X, Y) — see module docstring."""
+    specs = []
+    layers = vgg.ENCODER_LAYERS
+    for i, spec in enumerate(layers):
+        if spec[0] != "conv":
+            continue
+        _, name, in_c, out_c, k = spec
+        # X: this conv's output activation, through pool+upsample when
+        # the encoder pools right after it.
+        pooled = i + 1 < len(layers) and layers[i + 1][0] == "pool"
+        # Y: this conv's input activation; conv1_1's mirror emits RGB
+        # (conv0 is not mirrored), so its target is the raw image.
+        prev = layers[i - 1]
+        y_key = "input" if prev[0] == "conv_pre" else prev[1]
+        y_c = 3 if y_key == "input" else in_c
+        specs.append({
+            "conv": name,
+            "dec": f"dec_{name}",
+            "x_key": name,
+            "x_pooled": pooled,
+            "pool_key": layers[i + 1][1] if pooled else None,
+            "y_key": y_key,
+            "x_c": out_c,
+            "y_c": y_c,
+            "k": k,
+            "d": k * k * out_c + 1,
+        })
+    return specs
+
+
+def _patches(x: jax.Array, k: int) -> jax.Array:
+    """[B,H,W,C] → [B·H·W, k·k·C+1] reflect-padded patches + ones column,
+    ordered (kh, kw, in) to match the conv kernel layout [kh,kw,in,out]."""
+    b, h, w, c = x.shape
+    p = k // 2
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+    cols = [
+        xp[:, dy : dy + h, dx : dx + w, :]
+        for dy in range(k)
+        for dx in range(k)
+    ]
+    pm = jnp.stack(cols, axis=3).reshape(b * h * w, k * k * c)
+    ones = jnp.ones((pm.shape[0], 1), pm.dtype)
+    return jnp.concatenate([pm, ones], axis=1)
+
+
+def init_stats(specs: list[dict]) -> dict:
+    """Zeroed (G, b) accumulators, f32, one pair per regression."""
+    return {
+        s["dec"]: {
+            "G": jnp.zeros((s["d"], s["d"]), jnp.float32),
+            "b": jnp.zeros((s["d"], s["y_c"]), jnp.float32),
+        }
+        for s in specs
+    }
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("subsample",))
+def accumulate_stats(
+    stats: dict, enc_params: dict, batch: jax.Array, subsample: int = 0
+) -> dict:
+    """One MXU statistics pass: update every regression's (G, b).
+
+    ``batch``: [B,H,W,3] float or uint8 (normalized on device, like the
+    trainer). ``subsample``: when >0, only every ``subsample``-th pixel
+    row of the patch matrix feeds the FULL-RESOLUTION regressions
+    (conv1_1/conv1_2) — they see 64× more pixels per image than the
+    deep ones and dominate the pass cost; their Grams are tiny (577²)
+    and converge with far fewer rows.
+    """
+    x = batch.astype(jnp.float32)
+    if batch.dtype == jnp.uint8:
+        x = x / 255.0
+    acts = encoder_trace(enc_params, x)
+    hi = jax.lax.Precision.HIGHEST
+    out = {}
+    for s in regression_specs():
+        xin = acts[s["x_key"]]
+        if s["x_pooled"]:
+            xin = upsample_nearest2(acts[s["pool_key"]])
+        y = acts[s["y_key"]]
+        P = _patches(xin, s["k"])
+        Y = y.reshape(-1, y.shape[-1])
+        if subsample and s["x_c"] <= 64:
+            P = P[::subsample]
+            Y = Y[::subsample]
+        g = stats[s["dec"]]
+        out[s["dec"]] = {
+            "G": g["G"] + jnp.einsum("nd,ne->de", P, P, precision=hi),
+            "b": g["b"] + jnp.einsum("nd,nc->dc", P, Y, precision=hi),
+        }
+    return out
+
+
+@partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("target", "subsample")
+)
+def accumulate_refit_stats(
+    stats: dict,
+    enc_params: dict,
+    dec_params: dict,
+    batch: jax.Array,
+    target: str,
+    subsample: int = 0,
+) -> dict:
+    """Decoder-FORCED statistics pass for one level's refit.
+
+    The teacher-forced solves (``accumulate_stats``) assume every mirror
+    conv sees exact encoder activations; in the assembled decoder each
+    conv sees the PREVIOUS solved conv's output, so errors compound
+    (measured: relu5_1 teacher-forced init 13.8 dB vs relu1_1's 43.9).
+    This pass walks the ACTUAL decoder with the current ``dec_params``,
+    accumulating each conv's (G, b) against its teacher target — a
+    Jacobi relaxation step: solve all layers from these stats
+    (``solved_decoder_params``-style), reassemble, iterate.
+
+    ``stats`` holds only this level's conv names.
+    """
+    from wct_tpu.models import decoder as dec_lib
+
+    x = batch.astype(jnp.float32)
+    if batch.dtype == jnp.uint8:
+        x = x / 255.0
+    acts = encoder_trace(enc_params, x)
+    by_dec = {s["dec"]: s for s in regression_specs()}
+    hi = jax.lax.Precision.HIGHEST
+    layers = dec_lib.decoder_layers(target)
+    h = acts[f"conv{target[4]}_1"]  # the level's code, teacher-forced
+    out = dict(stats)
+    for i, spec in enumerate(layers):
+        if spec[0] == "upsample":
+            h = upsample_nearest2(h)
+            continue
+        _, name, in_c, out_c, k = spec
+        s = by_dec[name]
+        y = acts[s["y_key"]]
+        P = _patches(h, k)
+        Y = y.reshape(-1, y.shape[-1])
+        if subsample and in_c <= 64:
+            P = P[::subsample]
+            Y = Y[::subsample]
+        g = out[name]
+        out[name] = {
+            "G": g["G"] + jnp.einsum("nd,ne->de", P, P, precision=hi),
+            "b": g["b"] + jnp.einsum("nd,nc->dc", P, Y, precision=hi),
+        }
+        p = dec_params[name]
+        h = conv2d_reflect(h, p["w"], p["b"])
+        if i + 1 < len(layers):  # final conv is linear (RGB)
+            h = jax.nn.relu(h)
+    return out
+
+
+def solve_refit(
+    stats_host: dict, target: str, lam: float = 1e-4
+) -> dict:
+    """Solve one level's refit stats into a decoder param tree."""
+    by_dec = {s["dec"]: s for s in regression_specs()}
+    params = {}
+    for name, gb in stats_host.items():
+        s = by_dec[name]
+        w = solve_ridge(np.asarray(gb["G"]), np.asarray(gb["b"]), lam)
+        params[name] = {
+            "w": jnp.asarray(
+                w[:-1].reshape(s["k"], s["k"], s["x_c"], s["y_c"]),
+                jnp.float32,
+            ),
+            "b": jnp.asarray(w[-1], jnp.float32),
+        }
+    return params
+
+
+def init_refit_stats(target: str) -> dict:
+    """Zeroed refit accumulators for one level's decoder convs."""
+    from wct_tpu.models import decoder as dec_lib
+
+    by_dec = {s["dec"]: s for s in regression_specs()}
+    out = {}
+    for kind, name, *_ in dec_lib.decoder_layers(target):
+        if kind != "conv":
+            continue
+        s = by_dec[name]
+        out[name] = {
+            "G": jnp.zeros((s["d"], s["d"]), jnp.float32),
+            "b": jnp.zeros((s["d"], s["y_c"]), jnp.float32),
+        }
+    return out
+
+
+def solve_ridge(
+    G: np.ndarray, b: np.ndarray, lam: float = 1e-4
+) -> np.ndarray:
+    """Host float64 ridge solve; λ scales with mean diagonal energy."""
+    G = G.astype(np.float64)
+    b = b.astype(np.float64)
+    d = G.shape[0]
+    reg = lam * (np.trace(G) / d)
+    return np.linalg.solve(G + reg * np.eye(d), b)
+
+
+def solved_decoder_params(
+    stats_host: dict, lam: float = 1e-4, verbose: bool = True
+) -> dict:
+    """Solve every regression and assemble per-level decoder pytrees.
+
+    Returns {relu_target: {dec_conv*: {"w", "b"}}} with mirror convs
+    SHARED-BY-VALUE across levels (independent copies; fine-tuning may
+    diverge them later).
+    """
+    from wct_tpu.models import decoder as dec_lib
+
+    solved: dict[str, dict] = {}
+    for s in regression_specs():
+        w = solve_ridge(
+            np.asarray(stats_host[s["dec"]]["G"]),
+            np.asarray(stats_host[s["dec"]]["b"]),
+            lam,
+        )
+        kern = w[:-1].reshape(s["k"], s["k"], s["x_c"], s["y_c"])
+        solved[s["dec"]] = {
+            "w": jnp.asarray(kern, jnp.float32),
+            "b": jnp.asarray(w[-1], jnp.float32),
+        }
+        if verbose:
+            print(f"  solved {s['dec']}: d={s['d']} -> out {s['y_c']}")
+    decoders = {}
+    for t in vgg.RELU_TARGETS:
+        decoders[t] = {
+            name: {
+                "w": solved[name]["w"],
+                "b": solved[name]["b"],
+            }
+            for kind, name, *_ in dec_lib.decoder_layers(t)
+            if kind == "conv"
+        }
+    return decoders

@@ -113,17 +113,23 @@ def reconstruction_loss(
         decode = jax.checkpoint(decode)
     code = encode(enc_params, x)
     decoded = decode(dec_params, code)
-    recode = encode(enc_params, decoded)
 
     pixel = jnp.mean((decoded.astype(jnp.float32) - x.astype(jnp.float32)) ** 2)
-    feature = jnp.mean(
-        (recode.astype(jnp.float32) - code.astype(jnp.float32)) ** 2
-    )
-    if cfg.feature_norm:
-        power = jax.lax.stop_gradient(
-            jnp.mean(code.astype(jnp.float32) ** 2)
+    if cfg.feature_weight:
+        recode = encode(enc_params, decoded)
+        feature = jnp.mean(
+            (recode.astype(jnp.float32) - code.astype(jnp.float32)) ** 2
         )
-        feature = feature / (power + 1e-8)
+        if cfg.feature_norm:
+            power = jax.lax.stop_gradient(
+                jnp.mean(code.astype(jnp.float32) ** 2)
+            )
+            feature = feature / (power + 1e-8)
+    else:
+        # feature_weight 0 ⇒ skip the re-encode entirely: at relu5_1 the
+        # re-encode is a second 10-conv forward (and its backward), so a
+        # pixel-only phase trains ~2× faster (round-3 schedule lever).
+        feature = jnp.float32(0.0)
     tv = total_variation(decoded) if cfg.tv_weight else jnp.float32(0.0)
 
     total = (

@@ -164,6 +164,11 @@ class StreamStylizer:
         self._pending: deque[tuple[list[np.ndarray], jax.Array, int]] = deque()
         self._inbuf: list[np.ndarray] = []  # frames awaiting a full group
         self._outbuf: deque[np.ndarray] = deque()  # materialized, undelivered
+        # (alpha, style cache) snapshotted when a group's FIRST frame is
+        # submitted, so a live setting change never applies retroactively
+        # to frames already buffered (ADVICE r2: dispatch-time binding
+        # made --frame-batch 2 interp ramps subsample).
+        self._group_settings: tuple[float, cascade.StyleCache | None] | None = None
 
     # -- style management (encode ONCE per style switch) --
     def set_style(self, style_img: np.ndarray) -> None:
@@ -232,15 +237,21 @@ class StreamStylizer:
             frame_rgb = img_utils.resize_exact(frame_rgb, self.height, self.width)
         return frame_rgb
 
-    def _dispatch(self, batch: np.ndarray) -> jax.Array:
+    def _dispatch(
+        self,
+        batch: np.ndarray,
+        alpha: float | None = None,
+        cache: cascade.StyleCache | None = None,
+    ) -> jax.Array:
         """H2D + compute dispatch (async) for a [K, H, W, 3] batch."""
-        if self._cache is None:
+        cache = cache if cache is not None else self._cache
+        if cache is None:
             raise RuntimeError("no style set")
         out = cascade.stylize(
             self.params,
             jnp.asarray(batch, jnp.float32),
-            self._cache,
-            self.alpha,
+            cache,
+            self.alpha if alpha is None else alpha,
             self.cfg,
         )
         if self._postcast is not None:
@@ -248,10 +259,19 @@ class StreamStylizer:
         return out
 
     def _launch_group(self, frames: list[np.ndarray]) -> None:
-        """Dispatch ≤frame_batch resized frames as one padded batch."""
+        """Dispatch ≤frame_batch resized frames as one padded batch,
+        using the settings snapshotted at the group's first submit."""
         n = len(frames)
+        alpha, cache = (
+            self._group_settings
+            if self._group_settings is not None
+            else (self.alpha, self._cache)
+        )
+        self._group_settings = None
         padded = frames + [frames[-1]] * (self.frame_batch - n)
-        self._pending.append((frames, self._dispatch(np.stack(padded)), n))
+        self._pending.append(
+            (frames, self._dispatch(np.stack(padded), alpha, cache), n)
+        )
 
     def _materialize_group(self) -> None:
         """Read back the oldest in-flight group into the output buffer."""
@@ -288,23 +308,31 @@ class StreamStylizer:
         """Enqueue a frame's stylization without waiting for its output.
 
         Frames accumulate until ``frame_batch`` are buffered, then fly
-        as one dispatch.
+        as one dispatch. Alpha/style/interp settings are snapshotted
+        when a group's FIRST frame is submitted and apply to that whole
+        group — a live change takes effect from the next group, never
+        retroactively.
         """
+        if not self._inbuf:
+            self._group_settings = (self.alpha, self._cache)
         self._inbuf.append(self._resize(frame_rgb))
         if len(self._inbuf) >= self.frame_batch:
             self._launch_group(self._inbuf)
             self._inbuf = []
 
-    def collect(self) -> np.ndarray | None:
+    def collect(self, flush: bool = True) -> np.ndarray | None:
         """Read back the OLDEST in-flight frame (None if none pending).
 
-        Flushes a partially-filled frame group first (padded dispatch),
-        so draining with ``while (out := eng.collect()) is not None``
-        loses no frames.
+        With ``flush=True`` (default) a partially-filled frame group is
+        dispatched first (padded), so draining with ``while (out :=
+        eng.collect()) is not None`` loses no frames. Pollers calling
+        ``collect()`` BETWEEN submits mid-stream should pass
+        ``flush=False`` so polling doesn't silently defeat batching
+        with padded dispatches (ADVICE r2).
         """
         if self._outbuf:
             return self._outbuf.popleft()
-        if self._inbuf:
+        if self._inbuf and flush:
             self._launch_group(self._inbuf)
             self._inbuf = []
         if not self._pending:
