@@ -1,0 +1,279 @@
+#!/usr/bin/env python
+"""Prove (or refute) the truncation knife-edge saturation mechanism.
+
+    python scripts/exp_matched_mask.py --size 256
+    python scripts/exp_matched_mask.py --size 512 --runs soft
+
+Round-3 (VERDICT r2 item 2). Round 2 claimed full-cascade pixel parity
+is unattainable for ANY solver pair because of the hard 1e-5 eigenvalue
+truncation (reference ops.py:~100, reconstructed): an eigenvalue
+hovering at the threshold flips its whole mode in/out of the whitening
+between two legitimate eigensolvers, changing that level's transform
+O(1), and the following levels amplify the flip to the clip rails.
+That mechanism was plausible but unproven. This experiment pins it:
+
+  unmatched — f32+eigh (JAX, production formulas) vs float64 numpy
+      oracle, both with the reference's value threshold s > 1e-5.
+      Expected (r2 measured): median ~0.1, ~half the pixels > 0.05.
+  matched — SAME two implementations, but at each level the oracle's
+      float64 eigendecomposition fixes the keep-COUNTS (k_c, k_s), and
+      both sides mask by top-k index instead of by value. The only
+      difference left is fp arithmetic. If the knife-edge story is
+      true, full-cascade deviation collapses by ~3 orders of magnitude;
+      if it does not collapse, the saturation story is wrong.
+  soft — both sides use the continuous filter s²/(s²+trunc²)
+      (ops/wct.py soft_trunc). Lipschitz through the threshold, so no
+      mode flips are possible; an independent corroboration.
+  relvalue — both sides independently apply a RELATIVE threshold
+      s > 1e-3·s_max, i.e. whitening restricted to the well-conditioned
+      subspace (the s^{-1/2} amplification is bounded by ~32/√s_max
+      instead of 316/1). No forcing: if cross-solver parity holds here,
+      the divergence lives entirely in the near-null subspace.
+  matched_rel — the relative threshold with f64-forced keep-counts;
+      isolates residual eigenvector-rotation error inside a
+      well-separated spectrum.
+
+Also reports, per level, how many eigenvalues sit inside a ±50% band
+around the threshold — the population of flippable modes.
+
+MEASURED (2026-08-18, shipped r2 bundle, 256px, alpha=0.8, CPU):
+unmatched median 2.0e-1 / q99 1.0; matched 1.3e-2 / 0.83 (15×
+median collapse — mask flips are the largest term, but near-degenerate
+eigenvector rotations INSIDE the retained near-null modes keep the
+tail); soft×soft does NOT collapse (1.96e-1 — continuous but still
+noise-sensitive at s≈trunc); near-threshold f64 modes = 0 everywhere,
+i.e. the flipping eigenvalues are pure f32 NOISE of the near-null
+subspace (relu5_1's Gram has rank ≤ 255 of 512 at this size). See
+relvalue/matched_rel for the completion of the mechanism proof.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np  # noqa: E402
+
+TRUNC = 1e-5
+EPS = 1e-8
+
+
+# ---------------------------------------------------------------- oracle
+REL_TRUNC = 1e-3  # relative threshold: keep s > REL_TRUNC·s_max
+
+
+def _sym_pow_np(flat, power, mode, k=None):
+    """(kernel, mu, eigvals) with masking by `mode`:
+    value (s > TRUNC) | topk (index >= C-k) | soft (s²/(s²+t²)) |
+    relvalue (s > REL_TRUNC·s_max)."""
+    c = flat.shape[1]
+    mu = flat.mean(0)
+    centered = flat - mu
+    cov = centered.T @ centered / (flat.shape[0] - 1) + EPS * np.eye(c)
+    s, u = np.linalg.eigh(cov)
+    if mode == "value":
+        s_pow = np.where(s > TRUNC, np.sign(s) * np.abs(s) ** power, 0.0)
+    elif mode == "topk":
+        keep = np.arange(c) >= c - k
+        s_pow = np.where(keep, np.sign(s) * np.abs(s) ** power, 0.0)
+    elif mode == "soft":
+        s_pos = np.maximum(s, 0.0)
+        filt = s_pos * s_pos / (s_pos * s_pos + TRUNC * TRUNC)
+        s_pow = filt * np.maximum(s_pos, TRUNC * 1e-3) ** power
+    elif mode == "relvalue":
+        s_pow = np.where(
+            s > REL_TRUNC * s.max(), np.sign(s) * np.abs(s) ** power, 0.0
+        )
+    else:
+        raise ValueError(mode)
+    return (u * s_pow) @ u.T, mu, s
+
+
+def wct_np_masked(fc, fs, alpha, mode, k_c=None, k_s=None):
+    c = fc.shape[-1]
+    fc_flat = fc.reshape(-1, c)
+    fs_flat = fs.reshape(-1, c)
+    w_c, mu_c, s_c = _sym_pow_np(fc_flat, -0.5, mode, k_c)
+    k_mat, mu_s, s_s = _sym_pow_np(fs_flat, +0.5, mode, k_s)
+    colored = (fc_flat - mu_c) @ w_c @ k_mat + mu_s
+    out = alpha * colored + (1 - alpha) * fc_flat
+    return out.reshape(fc.shape), s_c, s_s
+
+
+# ---------------------------------------------------------------- jax path
+def make_jax_wct(mode):
+    """f32 WCT with the production formulas (fold into affine, HIGH-
+    precision apply matmul — ops/wct.py) and the selected mask mode.
+    k_c/k_s enter as dynamic operands so one jit serves every level."""
+    import jax
+    import jax.numpy as jnp
+
+    from wct_tpu.ops import reductions
+
+    def sym_pow(cov, power, k):
+        c = cov.shape[0]
+        s, u = jnp.linalg.eigh(cov)
+        if mode == "value":
+            s_pow = jnp.where(s > TRUNC, jnp.sign(s) * jnp.abs(s) ** power, 0.0)
+        elif mode in ("topk", "matched_rel"):
+            keep = jnp.arange(c) >= c - k
+            s_pow = jnp.where(keep, jnp.sign(s) * jnp.abs(s) ** power, 0.0)
+        elif mode == "relvalue":
+            s_pow = jnp.where(
+                s > REL_TRUNC * s[-1],  # eigh ascending: s[-1] = s_max
+                jnp.sign(s) * jnp.abs(s) ** power, 0.0,
+            )
+        else:  # soft
+            s_pos = jnp.maximum(s, 0.0)
+            filt = s_pos * s_pos / (s_pos * s_pos + TRUNC * TRUNC)
+            s_pow = filt * jnp.maximum(s_pos, TRUNC * 1e-3) ** power
+        return (u * s_pow[None, :]) @ u.T
+
+    @jax.jit
+    def run(fc, fs, alpha, k_c, k_s):
+        c = fc.shape[-1]
+        fc_flat = fc.reshape(-1, c).astype(jnp.float32)
+        fs_flat = fs.reshape(-1, c).astype(jnp.float32)
+
+        def gram(flat):
+            mu = reductions.mean0(flat)
+            centered = flat - mu[None, :]
+            cov = reductions.gram0(centered) / (flat.shape[0] - 1)
+            return cov + EPS * jnp.eye(c, dtype=jnp.float32), mu
+
+        cov_c, mu_c = gram(fc_flat)
+        cov_s, mu_s = gram(fs_flat)
+        w_c = sym_pow(cov_c, -0.5, k_c)
+        k_mat = sym_pow(cov_s, +0.5, k_s)
+        t = w_c @ k_mat
+        blended = alpha * t + (1 - alpha) * jnp.eye(c, dtype=jnp.float32)
+        bias = alpha * (mu_s - reductions.vecmat(mu_c, t))
+        out = (
+            jax.lax.dot_general(
+                fc_flat, blended,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGH,
+            )
+            + bias[None, :]
+        )
+        return out.reshape(fc.shape)
+
+    return run
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--alpha", type=float, default=0.8)
+    ap.add_argument("--runs", nargs="*",
+                    default=["unmatched", "matched", "soft"])
+    ap.add_argument("--bundle", default="weights/bundle.npz")
+    ap.add_argument("--seed", type=int, default=9)
+    ap.add_argument("--json-out", default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU (the fidelity-suite environment)")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from wct_tpu.models import decoder as dec_lib
+    from wct_tpu.models import vgg
+    from wct_tpu.tools import oracle
+    from wct_tpu.train import checkpoint
+
+    params = checkpoint.load_pytree(args.bundle)
+    rng = np.random.default_rng(args.seed)
+    content = rng.random((args.size, args.size, 3)).astype(np.float32)
+    style = rng.random((args.size, args.size, 3)).astype(np.float32)
+    targets = tuple(reversed(vgg.RELU_TARGETS))  # relu5_1 → relu1_1
+
+    results = {}
+    for run_name in args.runs:
+        # (mask mode shared by both sides, keep-count definition)
+        mode, kdef = {
+            "unmatched": ("value", "abs"),
+            "matched": ("topk", "abs"),
+            "soft": ("soft", "abs"),
+            "relvalue": ("relvalue", "rel"),
+            "matched_rel": ("topk", "rel"),
+        }[run_name]
+        jax_wct = make_jax_wct(mode)
+        img_j = jnp.asarray(content)
+        img_np = content.astype(np.float64)
+        flip_zone = {}
+        t0 = time.time()
+        for t in targets:
+            # oracle level (float64)
+            fc64 = oracle.encode_np(params["encoder"], img_np, t)
+            fs64 = oracle.encode_np(params["encoder"], style, t)
+            # keep-counts from the float64 eigenvalues (only used by topk)
+            _, mu, s_c = _sym_pow_np(fc64.reshape(-1, fc64.shape[-1]),
+                                     -0.5, "value")
+            _, _, s_s = _sym_pow_np(fs64.reshape(-1, fs64.shape[-1]),
+                                    +0.5, "value")
+            if kdef == "rel":
+                k_c = int((s_c > REL_TRUNC * s_c.max()).sum())
+                k_s = int((s_s > REL_TRUNC * s_s.max()).sum())
+            else:
+                k_c = int((s_c > TRUNC).sum())
+                k_s = int((s_s > TRUNC).sum())
+            flip_zone[t] = {
+                "k_c": k_c, "k_s": k_s, "C": int(s_c.size),
+                "near_c": int(((s_c > TRUNC / 2) & (s_c < TRUNC * 2)).sum()),
+                "near_s": int(((s_s > TRUNC / 2) & (s_s < TRUNC * 2)).sum()),
+            }
+            f64, _, _ = wct_np_masked(fc64, fs64, args.alpha, mode, k_c, k_s)
+            img_np = oracle.decode_np(params["decoders"][t], f64, t)
+
+            # compiled-path level (f32 + eigh, production formulas)
+            fc32 = vgg.encode(params["encoder"], img_j[None], t)[0]
+            fs32 = vgg.encode(
+                params["encoder"], jnp.asarray(style)[None], t
+            )[0]
+            f32 = jax_wct(fc32, fs32, args.alpha,
+                          jnp.int32(k_c), jnp.int32(k_s))
+            img_j = dec_lib.decode(params["decoders"][t], f32[None], t)[0]
+
+        ours = np.clip(np.asarray(img_j, np.float64), 0.0, 1.0)
+        ref = np.clip(img_np, 0.0, 1.0)
+        d = np.abs(ours - ref)
+        row = {
+            "median": float(np.median(d)),
+            "q99": float(np.quantile(d, 0.99)),
+            "max": float(d.max()),
+            "frac_gt_0.05": float((d > 0.05).mean()),
+            "levels": flip_zone,
+            "seconds": round(time.time() - t0, 1),
+        }
+        results[run_name] = row
+        print(f"\n[{run_name}] size={args.size} alpha={args.alpha}")
+        print(f"  median {row['median']:.3e}  q99 {row['q99']:.3e}  "
+              f"max {row['max']:.3e}  frac>0.05 {row['frac_gt_0.05']:.3f}")
+        for t, z in flip_zone.items():
+            print(f"  {t}: k_c={z['k_c']}/{z['C']} k_s={z['k_s']}/{z['C']} "
+                  f"near-threshold modes c={z['near_c']} s={z['near_s']}")
+
+    if "unmatched" in results and "matched" in results:
+        ratio = results["unmatched"]["median"] / max(
+            results["matched"]["median"], 1e-12
+        )
+        print(f"\nmedian collapse unmatched→matched: {ratio:.0f}×")
+    if args.json_out:
+        Path(args.json_out).write_text(json.dumps(results, indent=2))
+        print(f"wrote {args.json_out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

