@@ -177,6 +177,10 @@ def main(argv=None) -> int:
     ap.add_argument("--bundle", default="weights/bundle.npz")
     ap.add_argument("--seed", type=int, default=9)
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--per-level", action="store_true",
+                    help="also record each level's teacher-forced "
+                         "f32-vs-f64 deviation (isolates per-level error "
+                         "from cascade amplification)")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (the fidelity-suite environment)")
     args = ap.parse_args(argv)
@@ -215,6 +219,7 @@ def main(argv=None) -> int:
         t0 = time.time()
         for t in targets:
             # oracle level (float64)
+            img_np_in = img_np  # this level's oracle input
             fc64 = oracle.encode_np(params["encoder"], img_np, t)
             fs64 = oracle.encode_np(params["encoder"], style, t)
             # keep-counts from the float64 eigenvalues (only used by topk)
@@ -245,6 +250,24 @@ def main(argv=None) -> int:
                           jnp.int32(k_c), jnp.int32(k_s))
             img_j = dec_lib.decode(params["decoders"][t], f32[None], t)[0]
 
+            if args.per_level:
+                # Teacher-forced per-level error: run THIS level's
+                # f32 path on the ORACLE's input image, compare with
+                # the oracle's own output — isolates the level's
+                # intrinsic f32-vs-f64 deviation from the cascade's
+                # accumulated drift/amplification.
+                img64_in = jnp.asarray(np.asarray(img_np_in, np.float32))
+                fc_tf = vgg.encode(params["encoder"], img64_in[None], t)[0]
+                f_tf = jax_wct(fc_tf, fs32, args.alpha,
+                               jnp.int32(k_c), jnp.int32(k_s))
+                out_tf = np.asarray(
+                    dec_lib.decode(params["decoders"][t], f_tf[None], t)[0],
+                    np.float64,
+                )
+                d_tf = np.abs(out_tf - img_np)
+                flip_zone[t]["tf_median"] = float(np.median(d_tf))
+                flip_zone[t]["tf_q99"] = float(np.quantile(d_tf, 0.99))
+
         ours = np.clip(np.asarray(img_j, np.float64), 0.0, 1.0)
         ref = np.clip(img_np, 0.0, 1.0)
         d = np.abs(ours - ref)
@@ -261,8 +284,11 @@ def main(argv=None) -> int:
         print(f"  median {row['median']:.3e}  q99 {row['q99']:.3e}  "
               f"max {row['max']:.3e}  frac>0.05 {row['frac_gt_0.05']:.3f}")
         for t, z in flip_zone.items():
+            extra = (f" | teacher-forced dev median {z['tf_median']:.2e} "
+                     f"q99 {z['tf_q99']:.2e}" if "tf_median" in z else "")
             print(f"  {t}: k_c={z['k_c']}/{z['C']} k_s={z['k_s']}/{z['C']} "
-                  f"near-threshold modes c={z['near_c']} s={z['near_s']}")
+                  f"near-threshold modes c={z['near_c']} s={z['near_s']}"
+                  + extra)
 
     if "unmatched" in results and "matched" in results:
         ratio = results["unmatched"]["median"] / max(
