@@ -107,6 +107,32 @@ def main(argv=None) -> int:
           f"env frac>0.05 {(env > 0.05).mean():.4f}  "
           f"dev median {np.median(dev):.3e}")
 
+    # -- gate 2b: deep-level MATCHED-MASK deviation (DESIGN §2b) --
+    # The tight executable form for rank-deficient levels: force the
+    # float64 keep-counts into both the production f32 op (trunc_topk)
+    # and the oracle (force_k); single level from the same content
+    # input, so no cascade drift and no mask flips.
+    from wct_tpu.ops import wct as wct_ops
+    from wct_tpu.tools.oracle import decode_np, encode_np, wct_np, wct_ranks_np
+
+    for lvl in ("relu4_1", "relu5_1"):
+        fc64 = encode_np(params["encoder"], content.astype(np.float64), lvl)
+        fs64 = encode_np(params["encoder"], style.astype(np.float64), lvl)
+        k_c, k_s = wct_ranks_np(fc64, fs64)
+        fc32 = vgg.encode(params["encoder"], jnp.asarray(content)[None], lvl)[0]
+        fs32 = vgg.encode(params["encoder"], jnp.asarray(style)[None], lvl)[0]
+        f32 = wct_ops.wct(fc32, fs32, 0.8, trunc_topk=(k_c, k_s))
+        ours = np.asarray(dec_lib.decode(
+            params["decoders"][lvl], f32[None], lvl)[0], np.float64)
+        f64 = wct_np(fc64, fs64, 0.8, force_k=(k_c, k_s))
+        ref = decode_np(params["decoders"][lvl], f64, lvl)
+        dm = np.abs(
+            np.clip(ours, 0, 1) - np.clip(ref, 0, 1)
+        )
+        print(f"[gate2b matched {lvl}] k_c={k_c} k_s={k_s} "
+              f"median {np.median(dm):.2e} q99 {np.quantile(dm, 0.99):.2e} "
+              f"max {dm.max():.2e}")
+
     # -- gate 3: per-level reconstruction PSNR (test's exact recipe) --
     rng3 = np.random.default_rng(424242)
     batch = np.stack([synthetic_image(rng3, size) for _ in range(4)])

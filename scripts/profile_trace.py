@@ -64,6 +64,9 @@ def main():
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--top", type=int, default=40)
+    p.add_argument("--pack2", action="store_true",
+                   help="profile with pack2_junction (the headline "
+                        "config's third ingredient)")
     p.add_argument("--dump-lines", action="store_true")
     args = p.parse_args()
 
@@ -72,7 +75,8 @@ def main():
     rng = np.random.default_rng(0)
     params = cascade.init_params(jax.random.PRNGKey(0))
     cfg = cascade.CascadeConfig(
-        compute_dtype="bfloat16", method="newton_schulz_fast"
+        compute_dtype="bfloat16", method="newton_schulz_fast",
+        pack2_junction=args.pack2,
     )
     style = jnp.asarray(rng.random((args.size, args.size, 3), np.float32))
     cache = cascade.precompute_style(params["encoder"], style, cfg)

@@ -43,6 +43,11 @@ def main(argv=None) -> int:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--targets", nargs="*",
                     default=["relu2_1", "relu3_1", "relu4_1", "relu5_1"])
+    ap.add_argument("--gauss-seidel", action="store_true",
+                    help="sequential per-conv sweeps (one stats pass per "
+                         "conv, update before the next conv) instead of "
+                         "Jacobi all-at-once — Jacobi MEASURED to diverge "
+                         "on deep levels (relu5_1 13.9 -> 5.5 dB)")
     args = ap.parse_args(argv)
 
     import jax
@@ -87,27 +92,41 @@ def main(argv=None) -> int:
         return 10 * np.log10(1.0 / mse)
 
     n_batches = args.pool // args.batch
+
+    def stats_pass(t, only=None):
+        stats = layerwise.init_refit_stats(t, only=only)
+        for i in range(n_batches):
+            batch = jnp.asarray(pool[i * args.batch : (i + 1) * args.batch])
+            stats = layerwise.accumulate_refit_stats(
+                stats, enc, decoders[t], batch, target=t,
+                subsample=args.subsample, only=only,
+            )
+        _ = float(stats[next(iter(stats))]["G"].ravel()[0])  # sync
+        return jax.device_get(stats)
+
     for t in args.targets:
-        print(f"\n=== refit {t} (init {level_psnr(t):.2f} dB) ===")
+        print(f"\n=== refit {t} (init {level_psnr(t):.2f} dB) ===", flush=True)
         for it in range(args.iters):
             t0 = time.time()
-            stats = layerwise.init_refit_stats(t)
-            for i in range(n_batches):
-                batch = jnp.asarray(
-                    pool[i * args.batch : (i + 1) * args.batch]
+            if args.gauss_seidel:
+                from wct_tpu.models import decoder as dec_lib
+
+                convs = [
+                    name for kind, name, *_ in dec_lib.decoder_layers(t)
+                    if kind == "conv"
+                ]
+                for name in convs:
+                    solved = layerwise.solve_refit(
+                        stats_pass(t, only=name), t, lam=args.lam
+                    )
+                    decoders[t] = {**decoders[t], name: solved[name]}
+                    print(f"    {name}: {level_psnr(t):.2f} dB", flush=True)
+            else:
+                decoders[t] = layerwise.solve_refit(
+                    stats_pass(t), t, lam=args.lam
                 )
-                stats = layerwise.accumulate_refit_stats(
-                    stats, enc, decoders[t], batch, target=t,
-                    subsample=args.subsample,
-                )
-            _ = float(stats[next(iter(stats))]["G"].ravel()[0])  # sync
-            t_stats = time.time() - t0
-            t0 = time.time()
-            decoders[t] = layerwise.solve_refit(
-                jax.device_get(stats), t, lam=args.lam
-            )
             print(f"  iter {it + 1}: {level_psnr(t):.2f} dB "
-                  f"(stats {t_stats:.0f}s, solve {time.time() - t0:.0f}s)")
+                  f"({time.time() - t0:.0f}s)", flush=True)
 
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
