@@ -107,6 +107,39 @@ class TestWCT:
         oracle = numpy_wct_oracle(fc, fs, alpha)
         np.testing.assert_allclose(ours, oracle, atol=2e-3, rtol=2e-3)
 
+    def test_topk_matches_value_threshold_on_full_rank(self, rng):
+        """trunc_topk=(C, C) on full-rank features == the value mask
+        (every eigenvalue clears 1e-5, so both keep everything)."""
+        fc = _feat(rng, c=12, scale=1.5)
+        fs = _feat(rng, h=10, w=9, c=12, scale=2.0, shift=0.5)
+        a = np.asarray(wct_ops.wct(jnp.asarray(fc), jnp.asarray(fs), 0.8))
+        b = np.asarray(wct_ops.wct(
+            jnp.asarray(fc), jnp.asarray(fs), 0.8, trunc_topk=(12, 12)
+        ))
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+    def test_topk_matches_oracle_on_rank_deficient(self, rng):
+        """Matched top-k masks: production f32 vs float64 oracle agree
+        tightly even where the VALUE threshold would flip f32 noise
+        modes (rank-deficient Gram: 24 channels, 12 pixels) — the
+        matched-mask gate mechanism (DESIGN §2b) at op level."""
+        from wct_tpu.tools.oracle import wct_np, wct_ranks_np
+
+        fc = _feat(rng, h=4, w=3, c=24, scale=1.5)
+        fs = _feat(rng, h=4, w=3, c=24, scale=2.0, shift=0.3)
+        k_c, k_s = wct_ranks_np(
+            fc.astype(np.float64), fs.astype(np.float64)
+        )
+        assert k_c < 24 and k_s < 24  # genuinely rank-deficient
+        ours = np.asarray(wct_ops.wct(
+            jnp.asarray(fc), jnp.asarray(fs), 0.8, trunc_topk=(k_c, k_s)
+        ))
+        ref = wct_np(
+            fc.astype(np.float64), fs.astype(np.float64), 0.8,
+            force_k=(k_c, k_s),
+        )
+        np.testing.assert_allclose(ours, ref, atol=5e-3, rtol=5e-3)
+
     def test_eigenvector_sign_invariance(self, rng):
         # U D Uᵀ products must not depend on eigenvector sign: two runs
         # on identical data must agree exactly.

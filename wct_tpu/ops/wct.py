@@ -100,7 +100,8 @@ def _flatten_hwc(f: jax.Array) -> jax.Array:
 
 
 def _sym_pow(
-    cov: jax.Array, power: float, trunc: float, soft: bool = False
+    cov: jax.Array, power: float, trunc: float, soft: bool = False,
+    topk: int | None = None,
 ) -> jax.Array:
     """Symmetric matrix power via eigh with static-shape rank truncation.
 
@@ -117,8 +118,24 @@ def _sym_pow(
     from the threshold and is Lipschitz through it — the batch-stable
     production choice for rank-deficient features; hard is the exact
     reference behavior.
+
+    ``topk`` (eigh only) replaces the VALUE threshold with a
+    deterministic top-k INDEX mask — flip-free by construction.
+    Measured motivation (scripts/exp_matched_mask.py, DESIGN §2b): on
+    rank-deficient Grams the 1e-5 value threshold bites into f32 NOISE
+    eigenvalues of the near-null subspace, so two legitimate
+    eigensolvers keep different mode counts; a fixed k removes that
+    entire failure mode. Used by the matched-mask fidelity gates
+    (tests/test_trained_fidelity.py) and available as a deterministic
+    rank-r WCT knob.
     """
     s, u = jnp.linalg.eigh(cov)  # ascending eigenvalues
+    if topk is not None:
+        keep = jnp.arange(s.shape[-1]) >= s.shape[-1] - topk
+        s_pow = jnp.where(
+            keep, jnp.sign(s) * jnp.abs(jnp.where(keep, s, 1.0)) ** power, 0.0
+        )
+        return (u * s_pow[None, :]) @ u.T
     if soft:
         # Clamp to the PSD cone FIRST: fp32 eigh on rank-deficient
         # Grams returns small NEGATIVE noise eigenvalues, and filtering
@@ -173,6 +190,7 @@ def _gram(f_flat: jax.Array) -> tuple[jax.Array, jax.Array]:
 def _sqrt_kernels(
     cov: jax.Array, power: float, trunc: float, method: Method,
     soft: bool = False, ns_iters: int | None = None,
+    topk: int | None = None,
 ) -> jax.Array:
     """cov^{power} for power = ±1/2 with the selected eigensolver.
 
@@ -183,11 +201,12 @@ def _sqrt_kernels(
     ``sqrtm.DEFAULT_ITERS``; ignored by eigh) — NS needs ~log(κ)
     iterations, so small/well-conditioned covariances (shallow cascade
     levels) converge in fewer than the C=512 default.
+    ``topk`` (eigh only): deterministic top-k index mask — see _sym_pow.
     """
     if method == "auto":
         method = "eigh" if cov.shape[-1] <= _AUTO_EIGH_MAX_C else "newton_schulz"
     if method == "eigh":
-        return _sym_pow(cov, power, trunc, soft=soft)
+        return _sym_pow(cov, power, trunc, soft=soft, topk=topk)
     if method in ("newton_schulz", "newton_schulz_fast", "newton_schulz_pallas"):
         # Lazy import: keeps ops.wct importable without pallas deps.
         from wct_tpu.ops import sqrtm
@@ -212,19 +231,25 @@ def whitening_kernel(
     groups: int = 1,
     soft_trunc: bool = False,
     ns_iters: int | None = None,
+    trunc_topk: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Whitening matrix + mean for content features ``fc: [H, W, C]``.
 
     ``whiten(x) = (x − mean) @ kernel`` gives identity channel
     covariance (on the retained rank). Mirrors reference ops.py:~85–110.
     ``groups > 1`` → block-diagonal kernel ``[G, C/G, C/G]``.
+    ``trunc_topk`` (eigh, ungrouped): keep exactly the top-k modes
+    instead of the 1e-5 value threshold — see _sym_pow.
     """
     f_flat = _flatten_hwc(fc)
+    if trunc_topk is not None and groups != 1:
+        raise ValueError("trunc_topk is only supported with groups=1")
     if groups == 1:
         cov, mean = _gram(f_flat)
         cov = cov + eps * jnp.eye(cov.shape[0], dtype=cov.dtype)
         return _sqrt_kernels(
-            cov, -0.5, trunc, method, soft=soft_trunc, ns_iters=ns_iters
+            cov, -0.5, trunc, method, soft=soft_trunc, ns_iters=ns_iters,
+            topk=trunc_topk,
         ), mean
     covs, mean = _grouped_gram(f_flat, groups)
     cg = covs.shape[-1]
@@ -293,6 +318,7 @@ def style_stats(
     method: Method = "eigh",
     groups: int = 1,
     soft_trunc: bool = False,
+    trunc_topk: int | None = None,
 ) -> StyleStats:
     """Compute cacheable coloring statistics from style features [H, W, C].
 
@@ -305,12 +331,17 @@ def style_stats(
     in AdaWCT/PhotoWCT² — arXiv:2208.00921, 2110.11995). G² cheaper
     decompositions and often visually comparable; the stats kernel then
     has shape ``[G, C/G, C/G]``. groups=1 is exact reference behavior.
+    ``trunc_topk``: deterministic top-k truncation — see _sym_pow.
     """
     f_flat = _flatten_hwc(fs)
+    if trunc_topk is not None and groups != 1:
+        raise ValueError("trunc_topk is only supported with groups=1")
     if groups == 1:
         cov, mean = _gram(f_flat)
         cov = cov + eps * jnp.eye(cov.shape[0], dtype=cov.dtype)
-        kernel = _sqrt_kernels(cov, 0.5, trunc, method, soft=soft_trunc)
+        kernel = _sqrt_kernels(
+            cov, 0.5, trunc, method, soft=soft_trunc, topk=trunc_topk
+        )
         return StyleStats(kernel=kernel, mean=mean)
     covs, mean = _grouped_gram(f_flat, groups)
     cg = covs.shape[-1]
@@ -480,6 +511,7 @@ def wct_from_stats(
     groups: int = 1,
     soft_trunc: bool = False,
     ns_iters: int | None = None,
+    trunc_topk: int | None = None,
 ) -> jax.Array:
     """Apply WCT to content features [H, W, C] given cached style stats.
 
@@ -510,7 +542,7 @@ def wct_from_stats(
 
     w_c, mu_c = whitening_kernel(
         fc, eps=eps, trunc=trunc, method=method, groups=groups,
-        soft_trunc=soft_trunc, ns_iters=ns_iters,
+        soft_trunc=soft_trunc, ns_iters=ns_iters, trunc_topk=trunc_topk,
     )
     k_s = stats.kernel.astype(jnp.float32)
     if w_c.ndim != k_s.ndim:
@@ -559,6 +591,7 @@ def wct(
     method: Method = "eigh",
     groups: int = 1,
     soft_trunc: bool = False,
+    trunc_topk: tuple[int, int] | None = None,
 ) -> jax.Array:
     """Whitening–coloring transform, single image.
 
@@ -567,15 +600,17 @@ def wct(
     Equivalent to reference ``wct_tf(content, style, alpha, eps)``
     (ops.py:~65) minus the batch-squeeze: batching here is explicit via
     ``wct_batched``. ``groups > 1`` selects grouped (block-diagonal)
-    WCT — see ``style_stats``.
+    WCT — see ``style_stats``. ``trunc_topk=(k_c, k_s)`` selects
+    deterministic top-k truncation per side — see _sym_pow.
     """
+    k_c, k_s = trunc_topk if trunc_topk is not None else (None, None)
     stats = style_stats(
         fs, eps=eps, trunc=trunc, method=method, groups=groups,
-        soft_trunc=soft_trunc,
+        soft_trunc=soft_trunc, trunc_topk=k_s,
     )
     return wct_from_stats(
         fc, stats, alpha, eps=eps, trunc=trunc, method=method, groups=groups,
-        soft_trunc=soft_trunc,
+        soft_trunc=soft_trunc, trunc_topk=k_c,
     )
 
 

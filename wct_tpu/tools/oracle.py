@@ -86,24 +86,53 @@ def wct_np(
     alpha: float,
     eps: float = 1e-8,
     trunc: float = 1e-5,
+    force_k: tuple[int, int] | None = None,
 ) -> np.ndarray:
-    """WCT per SURVEY §A.2 in float64 (blend vs UNCENTERED content)."""
+    """WCT per SURVEY §A.2 in float64 (blend vs UNCENTERED content).
+
+    ``force_k=(k_c, k_s)``: top-k index truncation instead of the value
+    threshold — the oracle counterpart of ``ops.wct``'s ``trunc_topk``
+    (matched-mask gates; mechanism in DESIGN §2b).
+    """
     c = fc.shape[-1]
     fc_flat = fc.reshape(-1, c)
     fs_flat = fs.reshape(-1, c)
 
-    def sym_pow(flat, power):
+    def sym_pow(flat, power, k=None):
         mu = flat.mean(0)
         centered = flat - mu
         cov = centered.T @ centered / (flat.shape[0] - 1) + eps * np.eye(c)
         s, u = np.linalg.eigh(cov)
-        s_pow = np.where(s > trunc, np.sign(s) * np.abs(s) ** power, 0.0)
+        if k is not None:
+            keep = np.arange(c) >= c - k
+            s_pow = np.where(keep, np.sign(s) * np.abs(s) ** power, 0.0)
+        else:
+            s_pow = np.where(s > trunc, np.sign(s) * np.abs(s) ** power, 0.0)
         return (u * s_pow) @ u.T, mu
 
-    w_c, mu_c = sym_pow(fc_flat, -0.5)
-    k_s, mu_s = sym_pow(fs_flat, +0.5)
+    kc, ks = force_k if force_k is not None else (None, None)
+    w_c, mu_c = sym_pow(fc_flat, -0.5, kc)
+    k_s, mu_s = sym_pow(fs_flat, +0.5, ks)
     colored = (fc_flat - mu_c) @ w_c @ k_s + mu_s
     return (alpha * colored + (1 - alpha) * fc_flat).reshape(fc.shape)
+
+
+def wct_ranks_np(
+    fc: np.ndarray, fs: np.ndarray, eps: float = 1e-8, trunc: float = 1e-5
+) -> tuple[int, int]:
+    """Float64 keep-counts (k_c, k_s) under the 1e-5 value threshold —
+    the ground-truth ranks the matched-mask gates force into both
+    implementations."""
+
+    def rank(flat):
+        c = flat.shape[-1]
+        mu = flat.mean(0)
+        centered = flat - mu
+        cov = centered.T @ centered / (flat.shape[0] - 1) + eps * np.eye(c)
+        s = np.linalg.eigvalsh(cov)
+        return int((s > trunc).sum())
+
+    return rank(fc.reshape(-1, fc.shape[-1])), rank(fs.reshape(-1, fs.shape[-1]))
 
 
 def adain_np(fc: np.ndarray, fs: np.ndarray, alpha: float, eps: float = 1e-5):

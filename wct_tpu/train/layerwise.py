@@ -171,7 +171,8 @@ def accumulate_stats(
 
 
 @partial(
-    jax.jit, donate_argnums=(0,), static_argnames=("target", "subsample")
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("target", "subsample", "only"),
 )
 def accumulate_refit_stats(
     stats: dict,
@@ -180,6 +181,7 @@ def accumulate_refit_stats(
     batch: jax.Array,
     target: str,
     subsample: int = 0,
+    only: str | None = None,
 ) -> dict:
     """Decoder-FORCED statistics pass for one level's refit.
 
@@ -188,11 +190,22 @@ def accumulate_refit_stats(
     conv sees the PREVIOUS solved conv's output, so errors compound
     (measured: relu5_1 teacher-forced init 13.8 dB vs relu1_1's 43.9).
     This pass walks the ACTUAL decoder with the current ``dec_params``,
-    accumulating each conv's (G, b) against its teacher target — a
-    Jacobi relaxation step: solve all layers from these stats
-    (``solved_decoder_params``-style), reassemble, iterate.
+    accumulating each conv's (G, b) against its teacher target.
 
-    ``stats`` holds only this level's conv names.
+    Two relaxation schemes consume it (scripts/refit_layerwise.py):
+
+    - Jacobi (``only=None``): one pass accumulates EVERY conv, all are
+      re-solved from the same stats and swapped at once. MEASURED to
+      oscillate/diverge on deep levels (relu5_1 13.9 → 5.5 dB,
+      relu4_1 15.5 → 7.5 → 13.8): each solve assumes the others stay
+      fixed, and deep stacks violate that badly.
+    - Gauss–Seidel (``only=<conv name>``): one pass per conv, stopping
+      at the named conv (the rest of the walk is skipped), solve and
+      UPDATE it before the next conv's pass. Each solve is then exact
+      coordinate descent given the already-updated prefix, and the
+      FINAL conv's solve directly minimizes the level's pixel MSE.
+
+    ``stats`` holds only this level's conv names (or just ``only``'s).
     """
     from wct_tpu.models import decoder as dec_lib
 
@@ -210,18 +223,21 @@ def accumulate_refit_stats(
             h = upsample_nearest2(h)
             continue
         _, name, in_c, out_c, k = spec
-        s = by_dec[name]
-        y = acts[s["y_key"]]
-        P = _patches(h, k)
-        Y = y.reshape(-1, y.shape[-1])
-        if subsample and in_c <= 64:
-            P = P[::subsample]
-            Y = Y[::subsample]
-        g = out[name]
-        out[name] = {
-            "G": g["G"] + jnp.einsum("nd,ne->de", P, P, precision=hi),
-            "b": g["b"] + jnp.einsum("nd,nc->dc", P, Y, precision=hi),
-        }
+        if only is None or name == only:
+            s = by_dec[name]
+            y = acts[s["y_key"]]
+            P = _patches(h, k)
+            Y = y.reshape(-1, y.shape[-1])
+            if subsample and in_c <= 64:
+                P = P[::subsample]
+                Y = Y[::subsample]
+            g = out[name]
+            out[name] = {
+                "G": g["G"] + jnp.einsum("nd,ne->de", P, P, precision=hi),
+                "b": g["b"] + jnp.einsum("nd,nc->dc", P, Y, precision=hi),
+            }
+            if name == only:  # Gauss–Seidel: rest of the walk unused
+                return out
         p = dec_params[name]
         h = conv2d_reflect(h, p["w"], p["b"])
         if i + 1 < len(layers):  # final conv is linear (RGB)
@@ -248,14 +264,15 @@ def solve_refit(
     return params
 
 
-def init_refit_stats(target: str) -> dict:
-    """Zeroed refit accumulators for one level's decoder convs."""
+def init_refit_stats(target: str, only: str | None = None) -> dict:
+    """Zeroed refit accumulators for one level's decoder convs
+    (or just ``only``'s, for a Gauss–Seidel sweep)."""
     from wct_tpu.models import decoder as dec_lib
 
     by_dec = {s["dec"]: s for s in regression_specs()}
     out = {}
     for kind, name, *_ in dec_lib.decoder_layers(target):
-        if kind != "conv":
+        if kind != "conv" or (only is not None and name != only):
             continue
         s = by_dec[name]
         out[name] = {
