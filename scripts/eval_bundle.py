@@ -47,7 +47,12 @@ def main(argv=None) -> int:
                    help="held-out images for the PSNR table")
     p.add_argument("--seed", type=int, default=12345,
                    help="held-out generator seed (≠ training seed)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (JAX_PLATFORMS is ignored "
+                        "by the axon plugin; this uses jax.config)")
     args = p.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from wct_tpu.cli.common import enable_compile_cache
     from wct_tpu.models import cascade, decoder as dec_lib, vgg

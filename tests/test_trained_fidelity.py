@@ -1,27 +1,29 @@
 """Fidelity gates with TRAINED weights — the executable tolerance story.
 
-Round 1's fidelity evidence used random weights and loose
-distribution-body bounds. With the shipped trained bundle
-(weights/bundle.npz) the gates become hard where the math allows and
-honestly-calibrated where it does not. All bounds below were measured
-by ``scripts/calibrate_trained_gates.py`` on the shipped bundle
-(2026-08-18, size 96, CPU — the environment this suite runs in) and
-set with explicit margin; measured values are quoted per gate.
+Round-3 revision (VERDICT r2 items 2/4): the gates run at SIZE=160
+(was 96, where relu4_1/relu5_1 were maximally pathological), and the
+rank-deficient deep levels get TIGHT matched-mask gates instead of
+loose indulgences, using the mechanism proven in DESIGN §2b:
 
-What the math allows (and what it does not): with alpha=0 the cascade
-is five pure encode→decode round trips — no eigendecomposition — and
-the compiled pipeline agrees with the float64 numpy oracle to ~1e-4
-end-to-end (gate 1). With stylization ON, each level's WCT rank
-truncation (keep S > 1e-5, reference ops.py:~100) is a knife edge: a
-single mode flipping in or out of the mask between two legitimate
-eigensolvers changes that level's transform O(1), and subsequent
-levels amplify it — so even the f32+eigh path vs the float64 oracle
-saturates at the clip rails on ~half the pixels of a FULL 5-level
-stylization (measured; both are "correct" stylizations, they differ in
-near-degenerate eigendirections — ``--soft-trunc`` exists for exactly
-this). The per-LEVEL comparison is the sharp claim: each single-level
-stylization matches the oracle within eigensolver tolerance (gate 2),
-which is the BASELINE north-star clause made executable.
+- At 160px, relu1_1 (25600 px vs 64 ch), relu2_1 (6400 vs 128) and
+  relu3_1 (1600 vs 256) have full-rank Grams — every eigenvalue clears
+  the 1e-5 threshold by orders of magnitude, so the production value
+  mask is flip-free and the plain f32+eigh-vs-float64-oracle
+  comparison is tight (gate 2).
+- relu4_1 (400 px vs 512 ch) and relu5_1 (100 vs 512) are genuinely
+  rank-deficient: their near-null f32 noise eigenvalues straddle 1e-5
+  and flip modes between ANY two legitimate eigensolvers (measured:
+  zero float64 eigenvalues near the threshold — the flips are pure f32
+  noise). The sharp executable claim is the MATCHED-MASK comparison:
+  force the float64 keep-counts into both sides (production
+  ``trunc_topk`` / oracle ``force_k``) and the deviation collapses to
+  eigensolver tolerance (gate 2b). scripts/exp_matched_mask.py holds
+  the full decomposition (flips = 15× of the composed median; the
+  rest is ~100× cascade amplification of per-level fp tolerance).
+
+All bounds measured by ``scripts/calibrate_trained_gates.py --size
+160`` on the shipped round-3 bundle and set with explicit margin;
+measured values quoted per gate.
 """
 
 from pathlib import Path
@@ -36,7 +38,7 @@ pytestmark = pytest.mark.skipif(
     reason="trained bundle weights/bundle.npz not present",
 )
 
-SIZE = 96  # %16-aligned so the pack2/fused eligibility gates admit it
+SIZE = 160  # %16-aligned so the pack2/fused eligibility gates admit it
 
 
 @pytest.fixture(scope="module")
@@ -55,7 +57,8 @@ def test_alpha0_cascade_matches_oracle_hard(setup):
 
     Five encode→decode round trips through every conv/pool/upsample in
     the system, compiled as ONE program, vs pure numpy float64.
-    Measured: median 7.0e-6, q99 4.4e-5, max 9.9e-5. Bounds 20–50×.
+    Measured (160px, r3 bundle): median 4.9e-6, q99 5.2e-5, max 1.8e-4.
+    Bounds ~20×.
     """
     import jax.numpy as jnp
 
@@ -76,10 +79,10 @@ def test_single_level_within_eigensolver_tolerance(setup):
     """Per-level stylization (f32+eigh) vs float64 oracle at alpha=0.8.
 
     THE north-star clause ("output matching reference stylize.py
-    pixel-wise within eigensolver tolerance"), executable: one level =
-    one encode → one WCT (eigh, trunc, blend) → one decode, no
-    cross-level chaos. Measured q99 per level: 8.7e-6 / 6.2e-5 /
-    1.3e-5; max ≤ 2.0e-4. Bounds ~15–100×.
+    pixel-wise within eigensolver tolerance"), executable for the
+    FULL-RANK levels where the production value mask is flip-free.
+    Measured q99 (160px, r3 bundle): 5.7e-7 / 7.7e-6 / 4.8e-6; max
+    ≤ 1.6e-5. Bounds >60×.
     """
     import jax.numpy as jnp
 
@@ -87,16 +90,10 @@ def test_single_level_within_eigensolver_tolerance(setup):
     from wct_tpu.tools.oracle import cascade_np
 
     params, content, style = setup
-    # relu4_1 at this test size is rank-deficient (144 pixels vs 512
-    # channels → the truncation mask bites): measured q99 1.7e-3, own
-    # looser bound. relu5_1 is NOT gated: its 6×6×512 features drive
-    # the 8-dB decoder so far out of range that every config clips to
-    # identical rails (measured deviation exactly 0 — vacuous).
     bounds = {
-        "relu1_1": (1e-3, 5e-3),
-        "relu2_1": (1e-3, 5e-3),
-        "relu3_1": (1e-3, 5e-3),
-        "relu4_1": (1e-2, 3e-2),
+        "relu1_1": (5e-4, 1e-3),
+        "relu2_1": (5e-4, 1e-3),
+        "relu3_1": (5e-4, 1e-3),
     }
     for lvl, (bq99, bmax) in bounds.items():
         cfg = cascade.CascadeConfig(
@@ -110,14 +107,54 @@ def test_single_level_within_eigensolver_tolerance(setup):
         assert d.max() < bmax, (lvl, d.max())
 
 
+def test_deep_levels_matched_mask_within_tolerance(setup):
+    """relu4_1/relu5_1 single-level, MATCHED top-k masks: tight gates.
+
+    The rank-deficient levels' honest executable form (DESIGN §2b):
+    the float64 keep-counts are forced into both the production f32
+    pipeline (ops.wct trunc_topk) and the oracle (force_k), removing
+    the f32-noise mask flips that make any value-threshold comparison
+    a knife edge. What remains is pure fp tolerance — measured
+    (160px, r3 bundle): relu4_1 q99 3.6e-5 max 6.7e-5 (k=399/512),
+    relu5_1 q99 2.3e-5 max 4.0e-5 (k=99/512). Bounds ~30×.
+    """
+    import jax.numpy as jnp
+
+    from wct_tpu.models import decoder as dec_lib
+    from wct_tpu.models import vgg
+    from wct_tpu.ops import wct as wct_ops
+    from wct_tpu.tools.oracle import (
+        decode_np, encode_np, wct_np, wct_ranks_np,
+    )
+
+    params, content, style = setup
+    bounds = {"relu4_1": (1e-3, 2e-3), "relu5_1": (1e-3, 2e-3)}
+    for lvl, (bq99, bmax) in bounds.items():
+        fc64 = encode_np(params["encoder"], content.astype(np.float64), lvl)
+        fs64 = encode_np(params["encoder"], style.astype(np.float64), lvl)
+        k_c, k_s = wct_ranks_np(fc64, fs64)
+        fc32 = vgg.encode(
+            params["encoder"], jnp.asarray(content)[None], lvl)[0]
+        fs32 = vgg.encode(
+            params["encoder"], jnp.asarray(style)[None], lvl)[0]
+        f32 = wct_ops.wct(fc32, fs32, 0.8, trunc_topk=(k_c, k_s))
+        ours = np.clip(np.asarray(dec_lib.decode(
+            params["decoders"][lvl], f32[None], lvl)[0], np.float64), 0, 1)
+        f64 = wct_np(fc64, fs64, 0.8, force_k=(k_c, k_s))
+        ref = np.clip(decode_np(params["decoders"][lvl], f64, lvl), 0, 1)
+        d = np.abs(ours - ref)
+        assert np.quantile(d, 0.99) < bq99, (lvl, np.quantile(d, 0.99))
+        assert d.max() < bmax, (lvl, d.max())
+
+
 def test_throughput_config_single_level_deviation(setup):
     """bf16 + NS-fast + pack2 (the headline config) vs f32+eigh, per level.
 
     Bounds the throughput path's pixel deviation where it is
-    attributable (single level, no cross-level amplification).
-    Measured q99: relu1_1 2.5e-2, relu2_1 5.3e-2, relu3_1 1.2e-1 —
-    bf16 feature-map rounding dominates (≈8e-3 relative per conv),
-    growing with channel count. Bounds ~2–4×.
+    attributable (single level, no cross-level amplification). bf16
+    feature-map rounding dominates (≈8e-3 relative per conv), growing
+    with channel count. Measured q99 (160px, r3 bundle): 5.2e-3 /
+    1.2e-2 / 2.5e-2 / 8.5e-2 / 2.1e-1. Bounds 2.4–19×.
     """
     import jax.numpy as jnp
 
@@ -125,7 +162,7 @@ def test_throughput_config_single_level_deviation(setup):
 
     params, content, style = setup
     bounds = {"relu1_1": 0.1, "relu2_1": 0.15, "relu3_1": 0.3,
-              "relu4_1": 0.4}  # relu4_1 measured 2.1e-1; relu5_1 vacuous
+              "relu4_1": 0.4, "relu5_1": 0.5}
 
     def run(c):
         cache = cascade.precompute_style(
@@ -149,12 +186,12 @@ def test_throughput_config_single_level_deviation(setup):
 def test_full_stylized_distribution_recorded(setup):
     """Full 5-level alpha=0.8 vs oracle: calibrated distribution check.
 
-    NOT a tightness claim — see the module docstring for why any full
-    stylized comparison saturates at the clip rails in near-degenerate
-    eigendirections (measured: median 9.9e-2, 58% of pixels > 0.05,
-    with the f32+eigh-vs-oracle envelope itself at 58%). The gate
-    pins the distribution so a real regression (e.g. a broken level)
-    still fails loudly.
+    NOT a tightness claim — DESIGN §2b proves any composed-cascade
+    cross-solver comparison measures mask flips (15× of the median)
+    plus ~100× cascade amplification of per-level fp tolerance, not
+    implementation error. The gate pins the distribution so a real
+    regression (e.g. a broken level) still fails loudly; the TIGHT
+    claims live in the per-level and matched-mask gates above.
     """
     import jax.numpy as jnp
 
@@ -167,12 +204,14 @@ def test_full_stylized_distribution_recorded(setup):
         params, jnp.asarray(content), jnp.asarray(style), 0.8, cfg))
     ref = cascade_np(params, content, style, 0.8, cfg.relu_targets)
     d = np.abs(ours.astype(np.float64) - ref.astype(np.float64))
-    assert np.median(d) < 0.2, f"median {np.median(d):.3f}"
-    assert (d > 0.05).mean() < 0.75, f"frac {(d > 0.05).mean():.3f}"
+    # Measured (160px, r3 bundle): median 0.108, frac 0.733 — HIGHER
+    # than the 12-20 dB r2 bundle's: sharper decoders render the
+    # near-null eigendirection differences more visibly (DESIGN §2b).
+    assert np.median(d) < 0.25, f"median {np.median(d):.3f}"
+    assert (d > 0.05).mean() < 0.85, f"frac {(d > 0.05).mean():.3f}"
 
-    # The HEADLINE config's full-cascade composition, same treatment
-    # (measured vs the f32+eigh full cascade: median 0.236, frac 0.72)
-    # — catches a cross-level regression specific to NS-fast/pack2.
+    # The HEADLINE config's full-cascade composition, same treatment —
+    # catches a cross-level regression specific to NS-fast/pack2.
     def run(c):
         cache = cascade.precompute_style(
             params["encoder"], jnp.asarray(style), c
@@ -187,17 +226,17 @@ def test_full_stylized_distribution_recorded(setup):
         compute_dtype="bfloat16", method="newton_schulz_fast",
         pack2_junction=True))
     dev = np.abs(fast.astype(np.float64) - fid.astype(np.float64))
-    assert np.median(dev) < 0.4, f"median {np.median(dev):.3f}"
-    assert (dev > 0.05).mean() < 0.85, f"frac {(dev > 0.05).mean():.3f}"
+    # Measured: median 0.220, frac 0.873.
+    assert np.median(dev) < 0.45, f"median {np.median(dev):.3f}"
+    assert (dev > 0.05).mean() < 0.95, f"frac {(dev > 0.05).mean():.3f}"
 
 
 def test_decoder_reconstruction_psnr_floors(setup):
     """Each trained decoder inverts the encoder on held-out images.
 
-    Floors ≈3 dB under measured (calibration script, size 96:
-    16.7 / 12.4 / 10.8 / 12.7 / 10.6 dB) so regressions fail loudly
-    while fp/platform jitter passes. The 256px table lives in
-    weights/README.md.
+    Floors ≈3 dB under measured (calibration script, size 160) so
+    regressions fail loudly while fp/platform jitter passes. The 256px
+    table lives in weights/README.md.
     """
     import jax.numpy as jnp
 
@@ -209,12 +248,14 @@ def test_decoder_reconstruction_psnr_floors(setup):
     batch = np.stack([synthetic_image(rng, SIZE) for _ in range(4)])
     jbatch = jnp.asarray(batch)
 
+    # Measured (calibration, size 160): 52.0 / 30.7 / 27.4 / 20.4 /
+    # 14.7 dB. Floors ≈3 dB under.
     floors = {
-        "relu1_1": 13.5,
-        "relu2_1": 9.5,
-        "relu3_1": 8.0,
-        "relu4_1": 9.5,
-        "relu5_1": 7.5,
+        "relu1_1": 45.0,
+        "relu2_1": 27.0,
+        "relu3_1": 24.0,
+        "relu4_1": 17.0,
+        "relu5_1": 11.5,
     }
     for target, floor in floors.items():
         assert target in params["decoders"], f"bundle lacks {target}"
