@@ -114,6 +114,19 @@ def main() -> None:
     fn = lambda x: cascade.stylize(params, x, cache_hr, 0.6, cfg)
     record("4_batch8_1024px", fps=pipelined_fps(fn, b8, rounds))
 
+    # pack2 variant (the headline config's third ingredient, only ever
+    # measured at 512px before — VERDICT r2 item 6): does image-pair
+    # lane packing still pay at 4× the pixels, or does HBM pressure eat
+    # it? Falls back silently if the packed graph cannot compile.
+    if args.dtype == "bfloat16":
+        try:
+            cfg_p = cascade.CascadeConfig(pack2_junction=True, **kw)
+            cache_p = cascade.precompute_style(params["encoder"], style_hr, cfg_p)
+            fn_p = lambda x: cascade.stylize(params, x, cache_p, 0.6, cfg_p)
+            record("4_batch8_1024px_pack2", fps=pipelined_fps(fn_p, b8, rounds))
+        except Exception as e:  # noqa: BLE001
+            log(f"config-4 pack2 variant failed: {str(e).splitlines()[0][:100]}")
+
     # ---- config 5: 720p streaming with persistent style cache ----
     cfg = cascade.CascadeConfig(**kw)
     style_v = jnp.asarray(rng.random((720, 720, 3), np.float32))
@@ -133,6 +146,34 @@ def main() -> None:
     style_switch_ms = (time.perf_counter() - t0) * 1000
     record("5_stream_720p", fps=pipelined_fps(fn, frames, rounds),
            style_switch_ms=style_switch_ms)
+
+    # Device-resident frame batching (VERDICT r2 item 5): batch the
+    # CASCADE input — consecutive frames stacked [fb, 720, 1280, 3] —
+    # not the tunnel. Measures the real lever behind --frame-batch:
+    # batch-1 dispatches were ~2.4× less MXU-efficient (r1 data). The
+    # fb=2 pack2 row adds image-pair lane packing on top (720p is
+    # %16-aligned, so the pair is eligible).
+    for fb in (2, 4):
+        frames_fb = [
+            jnp.asarray(rng.random((fb, 720, 1280, 3), np.float32))
+            for _ in range(8)
+        ]
+        record(f"5_stream_720p_device_frame_batch{fb}",
+               fps=pipelined_fps(fn, frames_fb, rounds),
+               frame_latency_ms=latency_ms(fn, frames_fb[0]))
+    if args.dtype == "bfloat16":
+        try:
+            cfg_p = cascade.CascadeConfig(pack2_junction=True, **kw)
+            cache_vp = cascade.precompute_style(params["encoder"], style_v, cfg_p)
+            fn_p = lambda x: cascade.stylize(params, x, cache_vp, 0.6, cfg_p)
+            frames_fb = [
+                jnp.asarray(rng.random((2, 720, 1280, 3), np.float32))
+                for _ in range(8)
+            ]
+            record("5_stream_720p_device_frame_batch2_pack2",
+                   fps=pipelined_fps(fn_p, frames_fb, rounds))
+        except Exception as e:  # noqa: BLE001
+            log(f"config-5 pack2 variant failed: {str(e).splitlines()[0][:100]}")
 
     # ---- config 5 (engine): true host-in → host-out streaming ----
     # The number a user's webcam loop actually sees: numpy frame in,

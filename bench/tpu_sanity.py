@@ -22,10 +22,12 @@ import jax.numpy as jnp
 import numpy as np
 
 FAILURES = []
+CHECKS = []
 
 
 def check(name: str, ok: bool, detail: str = ""):
     print(f"{'PASS' if ok else 'FAIL'}: {name} {detail}")
+    CHECKS.append(name)
     if not ok:
         FAILURES.append(name)
 
@@ -103,6 +105,14 @@ def main() -> int:
         ("f32/eigh", cfg),
         ("bf16/NS-fast", cascade.CascadeConfig(
             compute_dtype="bfloat16", method="newton_schulz_fast")),
+        # The EXACT headline config (BENCH JSON): pack2 pairs image i
+        # with image i+B/2 inside one conv call — the block-diagonal
+        # argument says outputs stay per-image exact, and this check is
+        # the measured proof that the cross-image packing preserves
+        # bitwise batch-size stability (VERDICT r2 item 3).
+        ("bf16/NS-fast/pack2", cascade.CascadeConfig(
+            compute_dtype="bfloat16", method="newton_schulz_fast",
+            pack2_junction=True)),
     ):
         cache_b = cascade.precompute_style(
             params["encoder"], jnp.asarray(style), cfg_b
@@ -122,7 +132,7 @@ def main() -> int:
             f"max dev {np.abs(inb[0] - solo[0]).max():.2e}",
         )
 
-    print(f"{7 - len(FAILURES)}/7 checks passed")
+    print(f"{len(CHECKS) - len(FAILURES)}/{len(CHECKS)} checks passed")
     return 1 if FAILURES else 0
 
 
