@@ -43,23 +43,50 @@ for t in relu5_1 relu4_1 relu3_1; do
     --max-iter 15000 --save-iter 5000 --summary-iter 250
 done
 
-# 5. Split the closed-form levels into per-level npz files for
-#    make_bundle (relu1_1 from init, relu2_1 from refit).
+# 5. Assemble the per-level best set and run the joint cascade polish
+#    (measured: best held cascade 16.35 dB at lr 3e-5/anchor 0.25;
+#    lr 1e-4/anchor 0.1 measured WORSE — DESIGN §4c).
 python - <<'EOF'
 from wct_tpu.train import checkpoint
 init = checkpoint.load_pytree("ckpt_r3w/decoders_init.npz")
 refit = checkpoint.load_pytree("ckpt_r3w/decoders_refit.npz")
-checkpoint.save_pytree("ckpt_r3w/dec_relu1_1.npz", init["relu1_1"])
-checkpoint.save_pytree("ckpt_r3w/dec_relu2_1.npz", refit["relu2_1"])
+best = {
+    "relu1_1": init["relu1_1"],
+    "relu2_1": refit["relu2_1"],
+    "relu3_1": checkpoint.load_pytree("ckpt_r3w/ft_relu3_1/decoder_relu3_1.npz"),
+    "relu4_1": checkpoint.load_pytree("ckpt_r3w/ft_relu4_1/decoder_relu4_1.npz"),
+    "relu5_1": checkpoint.load_pytree("ckpt_r3w/ft_relu5_1/decoder_relu5_1.npz"),
+}
+checkpoint.save_pytree("ckpt_r3w/decoders_best.npz", best)
 EOF
+python scripts/cascade_polish.py --encoder "$W/enc/encoder_crelu.npz" \
+  --decoders "$W/decoders_best.npz" --out "$W/decoders_polished.npz" \
+  --pool 2048 --size 256 --batch 8 --steps 3000 --lr 3e-5
 
-# 6. Assemble + evaluate the bundle (f16 storage like r2).
+# 6. Ship the measured best-per-level HYBRID of {best, polished}
+#    (polish trades relu1_1 −14.5 dB for cascade +0.12; the hybrid
+#    keeps relu1_1 58.3 + the polished relu2_1/relu5_1 — measured
+#    cascade 16.28 vs 16.23/16.35), then bundle + eval.
+python - <<'EOF'
+from wct_tpu.train import checkpoint
+best = checkpoint.load_pytree("ckpt_r3w/decoders_best.npz")
+pol = checkpoint.load_pytree("ckpt_r3w/decoders_polished.npz")
+hybrid = {
+    "relu1_1": best["relu1_1"],
+    "relu2_1": pol["relu2_1"],
+    "relu3_1": best["relu3_1"],
+    "relu4_1": best["relu4_1"],
+    "relu5_1": pol["relu5_1"],
+}
+for t, tree in hybrid.items():
+    checkpoint.save_pytree(f"ckpt_r3w/dec_split_{t}.npz", tree)
+EOF
 python -m wct_tpu.tools.make_bundle \
   --encoder "$W/enc/encoder_crelu.npz" \
-  --decoder relu1_1="$W/dec_relu1_1.npz" \
-  --decoder relu2_1="$W/dec_relu2_1.npz" \
-  --decoder relu3_1="$W/ft_relu3_1/decoder_relu3_1.npz" \
-  --decoder relu4_1="$W/ft_relu4_1/decoder_relu4_1.npz" \
-  --decoder relu5_1="$W/ft_relu5_1/decoder_relu5_1.npz" \
+  --decoder relu1_1="$W/dec_split_relu1_1.npz" \
+  --decoder relu2_1="$W/dec_split_relu2_1.npz" \
+  --decoder relu3_1="$W/dec_split_relu3_1.npz" \
+  --decoder relu4_1="$W/dec_split_relu4_1.npz" \
+  --decoder relu5_1="$W/dec_split_relu5_1.npz" \
   --store-dtype float16 weights/bundle.npz
 python scripts/eval_bundle.py weights/bundle.npz --out-dir weights/samples
