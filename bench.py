@@ -110,8 +110,12 @@ def main() -> None:
         best = max(best, fps)
         line = (f"{dtype}/{method}: pipelined batch-{args.batch} "
                 f"throughput {fps:.1f} frames/s/chip")
-        if fn is None:
-            log(line + " | no config compiled — latency skipped")
+        if fn is None or fps <= 0:
+            # fn None: nothing compiled. fps 0 with an fn would make the
+            # microbatched row's vs-stylize percentage divide by zero —
+            # skip both secondary rows; the throughput line above
+            # already records what happened.
+            log(line + " | no usable config — latency/microbatched skipped")
             continue
         try:
             t1 = latency(fn, content1)

@@ -83,6 +83,24 @@ def main() -> None:
     record("2_full_cascade_512px", latency_ms=latency_ms(fn, c1),
            fps=pipelined_fps(fn, [c1] * 8, rounds))
 
+    # ---- config 2 transform variants: swap5 + AdaIN (VERDICT r3 item
+    # 7 — every user-selectable transform mode gets a measured TPU
+    # number, not just the WCT path; style-swap's patch conv/deconv is
+    # exactly the kind of op that can be pathological on a new
+    # backend). Same shape/alpha as config 2 so rows are comparable.
+    for vname, vkw in (
+        ("2s_full_cascade_swap5_512px", dict(swap5=True)),
+        ("2a_full_cascade_adain_512px", dict(transform="adain")),
+    ):
+        try:
+            cfg_v = cascade.CascadeConfig(**vkw, **kw)
+            cache_v2 = cascade.precompute_style(params["encoder"], style, cfg_v)
+            fn_v = lambda x: cascade.stylize(params, x, cache_v2, 0.6, cfg_v)
+            record(vname, latency_ms=latency_ms(fn_v, c1),
+                   fps=pipelined_fps(fn_v, [c1] * 8, rounds))
+        except Exception as e:  # noqa: BLE001
+            log(f"{vname} failed: {str(e).splitlines()[0][:100]}")
+
     # ---- config 3: style interpolation, weight + alpha sweep ----
     # stylize_interp fuses the stat blend + cascade into one dispatch;
     # weights/alpha are traced, so the sweep never recompiles.

@@ -128,6 +128,19 @@ def test_preset_overrides_dtype_and_method(tiny_imgs):
     assert cfg.compute_dtype == "float32" and cfg.method == "auto"
 
 
+def test_rel_trunc_flag_plumbs_to_config():
+    import argparse
+
+    from wct_tpu.cli import common
+
+    p = argparse.ArgumentParser()
+    common.add_model_flags(p)
+    args = p.parse_args(["--rel-trunc", "1e-3"])
+    cfg = common.config_from_args(args)
+    assert cfg.rel_trunc == 1e-3
+    assert common.config_from_args(p.parse_args([])).rel_trunc is None
+
+
 def test_preset_throughput_with_explicit_fold():
     """An explicit --fold wins over the preset's pack2 (ADVICE.md r1):
     the combination must build a valid config, not trip CascadeConfig's

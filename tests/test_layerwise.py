@@ -139,12 +139,19 @@ class TestEndToEnd:
                 enc_params, dec, batch, target="relu2_1", only=name,
             )
             assert set(solo) == {name}
-            np.testing.assert_array_equal(
-                np.asarray(solo[name]["G"]), np.asarray(full[name]["G"])
-            )
-            np.testing.assert_array_equal(
-                np.asarray(solo[name]["b"]), np.asarray(full[name]["b"])
-            )
+            # Tight allclose, NOT bitwise: the two accumulations are
+            # differently-shaped jitted programs (full Jacobi walk vs
+            # only= early-return walk) and XLA may fuse/reassociate
+            # them differently on other backends/jaxlib versions.
+            # atol scaled to each array's magnitude: near-cancelling
+            # cross-terms have unbounded RELATIVE error (see the uint8
+            # equivalence test below for the same phenomenon).
+            for key in ("G", "b"):
+                a = np.asarray(solo[name][key])
+                b = np.asarray(full[name][key])
+                np.testing.assert_allclose(
+                    a, b, rtol=1e-6, atol=1e-6 * np.abs(b).max()
+                )
 
     def test_uint8_and_float_batches_accumulate_equivalently(self, enc_params):
         """uint8 pools feed the same statistics as f32 batches.

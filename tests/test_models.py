@@ -283,6 +283,30 @@ class TestCascade:
             cascade.CascadeConfig(relu_targets=("relu1_1", "relu1_1"))
         with pytest.raises(ValueError, match="passes"):
             cascade.CascadeConfig(passes=0)
+        # rel_trunc (VERDICT r3 item 5): exclusive with soft_trunc,
+        # range-checked, eigh-only (spectrum mask — NS paths have none).
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            cascade.CascadeConfig(rel_trunc=1e-3, soft_trunc=True)
+        with pytest.raises(ValueError, match="rel_trunc must be"):
+            cascade.CascadeConfig(rel_trunc=1.5)
+        with pytest.raises(ValueError, match="rel_trunc"):
+            cascade.CascadeConfig(rel_trunc=1e-3, method="newton_schulz")
+
+    def test_rel_trunc_cascade_runs(self, params):
+        """End-to-end cascade with the relative threshold, including
+        the swap5 path (whiten_color_kernels plumbing)."""
+        rng = np.random.default_rng(21)
+        content = rng.random((48, 48, 3)).astype(np.float32)
+        style = rng.random((48, 48, 3)).astype(np.float32)
+        for extra in ({}, {"swap5": True}):
+            cfg = cascade.CascadeConfig(
+                relu_targets=("relu5_1", "relu1_1"), rel_trunc=1e-3, **extra
+            )
+            out = cascade.stylize_pair(
+                params, jnp.asarray(content), jnp.asarray(style), 0.8, cfg
+            )
+            assert out.shape == (48, 48, 3)
+            assert np.all(np.isfinite(np.asarray(out)))
 
     def test_alpha_is_traced_no_recompile(self, params, imgs):
         content, style = imgs

@@ -310,3 +310,40 @@ class TestNormalizeEncoder:
         np.testing.assert_allclose(
             f_norm, f_orig * scale[None, None, None, :], rtol=1e-4, atol=1e-5
         )
+
+    def test_compensated_normalisation_preserves_function(self, rng):
+        """Round-4 (VERDICT r3 item 1): normalize_bundle_compensated
+        must keep every level's decode(encode(x)) EXACTLY (fp roundoff)
+        while achieving unit mean activations — the Gatys rescale with
+        next-conv / decoder-first-conv compensation."""
+        import jax
+        import jax.numpy as jnp
+
+        from wct_tpu.models import cascade, decoder as dec_lib, vgg
+        from wct_tpu.tools.normalize_encoder import (
+            channel_means,
+            normalize_bundle_compensated,
+        )
+
+        params = cascade.init_params(jax.random.PRNGKey(5))
+        pool = rng.random((6, 32, 32, 3)).astype(np.float32)
+        norm, report = normalize_bundle_compensated(params, pool, chunk=4)
+
+        x = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+        for t in vgg.RELU_TARGETS:
+            a = np.asarray(dec_lib.decode(
+                params["decoders"][t], vgg.encode(params["encoder"], x, t), t
+            ))
+            b = np.asarray(dec_lib.decode(
+                norm["decoders"][t], vgg.encode(norm["encoder"], x, t), t
+            ))
+            scale = max(1.0, np.abs(a).max())
+            assert np.abs(a - b).max() < 1e-4 * scale, (
+                t, np.abs(a - b).max(), scale
+            )
+        after = channel_means(norm["encoder"], pool, chunk=4)
+        for name, m in after.items():
+            if name == "conv0":
+                continue
+            live = np.abs(m[m > 1e-2] - 1.0)
+            assert np.quantile(live, 0.99) < 1e-2, (name, live.max())

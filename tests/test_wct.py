@@ -432,3 +432,192 @@ class TestStyleStatsCache:
         via_cache = wct_ops.wct_from_stats(jnp.asarray(fc), stats, 0.7)
         direct = wct_ops.wct(jnp.asarray(fc), jnp.asarray(fs), 0.7)
         np.testing.assert_array_equal(np.asarray(via_cache), np.asarray(direct))
+
+
+class TestTruncModeGuards:
+    """The three truncation overrides are exclusive, eigh-only modes.
+
+    VERDICT r3 items 5/6 + ADVICE r3: requesting a spectrum mask
+    (trunc_topk / rel_trunc) on a Newton–Schulz path must raise — NS
+    has no mask, so silently dropping the knob would hand a
+    fidelity-gate author a wrong-but-plausible comparison.
+    """
+
+    def test_topk_with_newton_schulz_raises(self, rng):
+        fc = _feat(rng, c=12)
+        fs = _feat(rng, h=9, w=7, c=12)
+        with pytest.raises(ValueError, match="trunc_topk requires"):
+            wct_ops.wct(
+                jnp.asarray(fc), jnp.asarray(fs), 0.8,
+                method="newton_schulz", trunc_topk=(8, 8),
+            )
+
+    def test_topk_with_auto_resolving_to_ns_raises(self, rng):
+        # auto picks NS above 64 channels: the RESOLVED method governs.
+        fc = _feat(rng, h=12, w=12, c=96)
+        fs = _feat(rng, h=12, w=12, c=96)
+        with pytest.raises(ValueError, match="trunc_topk requires"):
+            wct_ops.wct(
+                jnp.asarray(fc), jnp.asarray(fs), 0.8,
+                method="auto", trunc_topk=(40, 40),
+            )
+
+    def test_rel_trunc_with_newton_schulz_raises(self, rng):
+        fc = _feat(rng, c=12)
+        fs = _feat(rng, h=9, w=7, c=12)
+        with pytest.raises(ValueError, match="rel_trunc requires"):
+            wct_ops.wct(
+                jnp.asarray(fc), jnp.asarray(fs), 0.8,
+                method="newton_schulz_fast", rel_trunc=1e-3,
+            )
+
+    def test_trunc_modes_mutually_exclusive(self, rng):
+        fc = _feat(rng, c=12)
+        fs = _feat(rng, h=9, w=7, c=12)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            wct_ops.wct(
+                jnp.asarray(fc), jnp.asarray(fs), 0.8,
+                soft_trunc=True, rel_trunc=1e-3,
+            )
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            wct_ops.wct(
+                jnp.asarray(fc), jnp.asarray(fs), 0.8,
+                soft_trunc=True, trunc_topk=(8, 8),
+            )
+
+    def test_rel_trunc_range_validated(self, rng):
+        fc = _feat(rng, c=12)
+        fs = _feat(rng, h=9, w=7, c=12)
+        for bad in (0.0, 1.0, -1e-3, 2.0):
+            with pytest.raises(ValueError, match="rel_trunc must be"):
+                wct_ops.wct(
+                    jnp.asarray(fc), jnp.asarray(fs), 0.8, rel_trunc=bad
+                )
+
+    def test_topk_beyond_numerical_rank_stays_psd(self, rng):
+        """ADVICE r3: a caller-supplied k past the f32 numerical rank
+        must not send negative noise eigenvalues through s^{-1/2}
+        unguarded (sign-flipped/huge whitening modes). The floored
+        branch keeps the kernel finite and PSD."""
+        fc = _feat(rng, h=4, w=3, c=24)  # rank ≤ 11 of 24
+        kern, _ = wct_ops.whitening_kernel(
+            jnp.asarray(fc), trunc_topk=20
+        )
+        k = np.asarray(kern, np.float64)
+        assert np.all(np.isfinite(k))
+        np.testing.assert_allclose(k, k.T, atol=1e-3)
+        evals = np.linalg.eigvalsh((k + k.T) / 2)
+        assert evals.min() > -1e-3, evals.min()
+
+
+class TestRelTrunc:
+    """rel_trunc: the cross-solver-reproducible relative threshold
+    (VERDICT r3 item 5 — productized from scripts/exp_matched_mask.py,
+    where the keep mask measured BIT-IDENTICAL between f32 eigh and the
+    float64 oracle with no forcing)."""
+
+    REL = 1e-3
+
+    def _oracle(self, fc, fs, alpha, rel, eps=1e-8):
+        h, w, c = fc.shape
+        fc_flat = fc.reshape(-1, c).astype(np.float64)
+        fs_flat = fs.reshape(-1, c).astype(np.float64)
+
+        def sym_pow(f_flat, power):
+            mu = f_flat.mean(0)
+            centered = f_flat - mu
+            cov = centered.T @ centered / (f_flat.shape[0] - 1) + eps * np.eye(c)
+            s, u = np.linalg.eigh(cov)
+            s_pow = np.where(s > rel * s.max(), np.abs(s) ** power, 0.0)
+            return (u * s_pow) @ u.T, mu, s
+
+        w_c, mu_c, s_c = sym_pow(fc_flat, -0.5)
+        k_s, mu_s, s_s = sym_pow(fs_flat, +0.5)
+        colored = (fc_flat - mu_c) @ w_c @ k_s + mu_s
+        out = alpha * colored + (1 - alpha) * fc_flat
+        return out.reshape(h, w, c), s_c, s_s
+
+    def test_matches_hard_when_well_conditioned(self, rng):
+        # Random full-rank Gram: every eigenvalue clears both 1e-5 and
+        # 1e-3·s_max, so relative == absolute masking.
+        fc = _feat(rng, c=8, scale=1.5)
+        fs = _feat(rng, h=9, w=7, c=8, scale=2.0)
+        hard = np.asarray(wct_ops.wct(jnp.asarray(fc), jnp.asarray(fs), 0.8))
+        rel = np.asarray(wct_ops.wct(
+            jnp.asarray(fc), jnp.asarray(fs), 0.8, rel_trunc=self.REL
+        ))
+        np.testing.assert_allclose(hard, rel, atol=1e-5, rtol=1e-5)
+
+    def test_mask_bit_identical_across_solvers_rank_deficient(self, rng):
+        """THE productized claim: on rank-deficient features the
+        relative mask's keep-COUNT is identical between the f32
+        production Gram/eigh and the float64 oracle — no forcing —
+        because the cut lands in a well-separated part of the spectrum
+        instead of inside the f32 noise cloud (where the absolute 1e-5
+        threshold measurably flips)."""
+        fc = _feat(rng, h=4, w=3, c=24, scale=1.5)  # rank ≤ 11
+        fs = _feat(rng, h=4, w=3, c=24, scale=2.0, shift=0.3)
+        for f in (fc, fs):
+            flat64 = f.reshape(-1, 24).astype(np.float64)
+            mu = flat64.mean(0)
+            cen = flat64 - mu
+            cov64 = cen.T @ cen / (flat64.shape[0] - 1) + 1e-8 * np.eye(24)
+            s64 = np.linalg.eigvalsh(cov64)
+            cov32, _ = wct_ops._gram(jnp.asarray(f.reshape(-1, 24)))
+            cov32 = cov32 + 1e-8 * jnp.eye(24)
+            s32 = np.asarray(jnp.linalg.eigh(cov32)[0])
+            k64 = int((s64 > self.REL * s64.max()).sum())
+            k32 = int((s32 > self.REL * s32.max()).sum())
+            assert k64 == k32, (k64, k32)
+            # ... and the absolute threshold's count DOES straddle the
+            # noise cloud here (sanity that this input exercises the
+            # failure mode rel_trunc removes): near-null f32 eigenvalues
+            # exist below the relative cut.
+            assert (np.abs(s32) < self.REL * s32.max()).sum() > 0
+
+    def test_matches_float64_oracle_rank_deficient(self, rng):
+        fc = _feat(rng, h=4, w=3, c=24, scale=1.5)
+        fs = _feat(rng, h=4, w=3, c=24, scale=2.0, shift=0.3)
+        ours = np.asarray(wct_ops.wct(
+            jnp.asarray(fc), jnp.asarray(fs), 0.8, rel_trunc=self.REL
+        ))
+        ref, s_c, s_s = self._oracle(fc, fs, 0.8, self.REL)
+        # No forcing on either side — agreement here is exactly the
+        # cross-solver reproducibility rel_trunc exists to provide.
+        np.testing.assert_allclose(ours, ref, atol=5e-3, rtol=5e-3)
+
+    def test_alpha_zero_identity(self, rng):
+        fc = _feat(rng, h=4, w=3, c=24)
+        fs = _feat(rng, h=4, w=3, c=24)
+        out = wct_ops.wct(
+            jnp.asarray(fc), jnp.asarray(fs), 0.0, rel_trunc=self.REL
+        )
+        np.testing.assert_allclose(np.asarray(out), fc, atol=1e-4)
+
+    def test_grouped_rel_trunc_runs(self, rng):
+        fc = _feat(rng, c=16)
+        fs = _feat(rng, h=9, w=7, c=16)
+        out = wct_ops.wct(
+            jnp.asarray(fc), jnp.asarray(fs), 0.8, groups=2,
+            rel_trunc=self.REL,
+        )
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_whiten_color_kernels_rel(self, rng):
+        """swap5's one-decomposition path honors rel_trunc: kernels
+        match the separate whitening/style calls."""
+        f = _feat(rng, h=4, w=3, c=24, scale=1.5)
+        inv, sq, mu = wct_ops.whiten_color_kernels(
+            jnp.asarray(f), rel_trunc=self.REL
+        )
+        w_k, mu_w = wct_ops.whitening_kernel(
+            jnp.asarray(f), rel_trunc=self.REL
+        )
+        stats = wct_ops.style_stats(jnp.asarray(f), rel_trunc=self.REL)
+        np.testing.assert_allclose(
+            np.asarray(inv), np.asarray(w_k), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(sq), np.asarray(stats.kernel), atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(mu), np.asarray(mu_w))

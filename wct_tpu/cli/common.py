@@ -102,6 +102,19 @@ def add_model_flags(p: argparse.ArgumentParser) -> None:
         "is exact reference behavior)",
     )
     p.add_argument(
+        "--rel-trunc",
+        type=float,
+        default=None,
+        metavar="R",
+        help="RELATIVE eigenvalue threshold: keep modes with "
+        "s > R*s_max instead of the reference's absolute 1e-5. The "
+        "cross-solver-REPRODUCIBLE truncation mode: at R=1e-3 the keep "
+        "mask is measured bit-identical between f32 eigh and the "
+        "float64 oracle (scripts/exp_matched_mask.py) — what "
+        "--soft-trunc was hoped to be and measurably is not. Requires "
+        "--method eigh; exclusive with --soft-trunc",
+    )
+    p.add_argument(
         "--wct-groups",
         type=int,
         default=1,
@@ -195,6 +208,7 @@ def config_from_args(args: argparse.Namespace) -> cascade.CascadeConfig:
         conv_precision=getattr(args, "conv_precision", "highest"),
         wct_groups=args.wct_groups,
         soft_trunc=args.soft_trunc,
+        rel_trunc=getattr(args, "rel_trunc", None),
         ns_iters=_parse_ns_iters(getattr(args, "ns_iters", None)),
         fold_transform=bool(getattr(args, "fold", None)),
         pack2_junction=preset_pack2,

@@ -77,6 +77,18 @@ class CascadeConfig:
     # input noise (e.g. batch-shape-dependent XLA conv fusion) causes on
     # rank-deficient Grams. False = exact reference semantics.
     soft_trunc: bool = False
+    # RELATIVE eigenvalue threshold (keep s > rel_trunc·s_max) instead
+    # of the reference's absolute 1e-5 — the cross-solver-REPRODUCIBLE
+    # truncation mode. Measured (scripts/exp_matched_mask.py, DESIGN
+    # §2b): at 1e-3 the keep mask is BIT-IDENTICAL between f32 eigh and
+    # the float64 oracle with no forcing (relvalue ≡ matched_rel,
+    # composed-cascade median 1.46e-2 = pure fp tolerance), because the
+    # cut lands in a well-separated part of the spectrum instead of
+    # inside the near-null f32 noise cloud — the property soft_trunc
+    # was hoped to have and measurably does not (median 0.196,
+    # unchanged from hard). eigh-only (it is a spectrum mask; the
+    # Newton–Schulz paths raise). None = reference 1e-5 behavior.
+    rel_trunc: float | None = None
     # Newton–Schulz iteration count override for the CONTENT-side
     # whitening solve (the per-frame hot path; style-side stats keep
     # the convergence-safe default since they run once per style).
@@ -171,6 +183,23 @@ class CascadeConfig:
                 "(the junction kernel replaces the decoder tail the fold "
                 "would rewrite)"
             )
+        if self.rel_trunc is not None:
+            if self.soft_trunc:
+                raise ValueError(
+                    "rel_trunc and soft_trunc are mutually exclusive "
+                    "truncation modes"
+                )
+            if not 0.0 < self.rel_trunc < 1.0:
+                raise ValueError(
+                    f"rel_trunc must be in (0, 1), got {self.rel_trunc}"
+                )
+            if self.method != "eigh":
+                raise ValueError(
+                    "rel_trunc is a spectrum mask and requires "
+                    f"method='eigh'; got method={self.method!r} (the "
+                    "Newton–Schulz paths have no mask to apply — "
+                    "ops/wct.py _sqrt_kernels)"
+                )
         if self.ns_iters is not None and not isinstance(self.ns_iters, int):
             for pair in self.ns_iters:
                 if (
@@ -263,7 +292,8 @@ def precompute_style(
         if cfg.swap5 and level == "relu5_1":
             # One decomposition yields whitening + coloring kernels.
             w_s, k_s, mu_s = wct_ops.whiten_color_kernels(
-                fs, method=cfg.method, soft_trunc=cfg.soft_trunc
+                fs, method=cfg.method, soft_trunc=cfg.soft_trunc,
+                rel_trunc=cfg.rel_trunc,
             )
             stats = wct_ops.StyleStats(kernel=k_s, mean=mu_s)
             hs, ws, c = fs.shape
@@ -274,7 +304,7 @@ def precompute_style(
         else:
             stats = wct_ops.style_stats(
                 fs, method=cfg.method, groups=cfg.wct_groups,
-                soft_trunc=cfg.soft_trunc,
+                soft_trunc=cfg.soft_trunc, rel_trunc=cfg.rel_trunc,
             )
         cache[level] = LevelStyle(stats=stats, adain=adain_st, fs_white=fs_white)
     return cache
@@ -324,7 +354,7 @@ def _transform_level(
     if cfg.swap5 and level == "relu5_1":
         w_c, mu_c = wct_ops.whitening_kernel(
             fc, method=cfg.method, soft_trunc=cfg.soft_trunc,
-            ns_iters=cfg.ns_iters_for(level),
+            ns_iters=cfg.ns_iters_for(level), rel_trunc=cfg.rel_trunc,
         )
         h, w, c = fc.shape
         flat = fc.reshape(h * w, c).astype(jnp.float32)
@@ -343,6 +373,7 @@ def _transform_level(
     return wct_ops.wct_from_stats(
         fc, style.stats, alpha, method=cfg.method, groups=cfg.wct_groups,
         soft_trunc=cfg.soft_trunc, ns_iters=cfg.ns_iters_for(level),
+        rel_trunc=cfg.rel_trunc,
     )
 
 
@@ -416,6 +447,7 @@ def stylize_fn(
                     transform=cfg.transform, adain_stats=style.adain,
                     method=cfg.method, soft_trunc=cfg.soft_trunc,
                     ns_iters=cfg.ns_iters_for(level),
+                    rel_trunc=cfg.rel_trunc,
                     precision=cfg.lax_precision,
                 )
                 if cfg.clip_between_levels:
@@ -491,6 +523,7 @@ def stylize_fn(
                             f, style.stats, alpha, method=cfg.method,
                             groups=cfg.wct_groups, soft_trunc=cfg.soft_trunc,
                             ns_iters=cfg.ns_iters_for(level),
+                            rel_trunc=cfg.rel_trunc,
                         )
                     )(feats)
                 out = dec_lib.decode_folded(
@@ -524,6 +557,7 @@ def stylize_fn(
                             f, style.stats, alpha, method=cfg.method,
                             groups=cfg.wct_groups, soft_trunc=cfg.soft_trunc,
                             ns_iters=cfg.ns_iters_for(level),
+                            rel_trunc=cfg.rel_trunc,
                         )
                     )(feats)
                 dec_p = params["decoders"][level]

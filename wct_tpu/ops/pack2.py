@@ -150,6 +150,7 @@ def tail_pack2(
     method: str = "eigh",
     soft_trunc: bool = False,
     ns_iters: int | None = None,
+    rel_trunc: float | None = None,
     precision=None,
 ) -> jax.Array:
     """The relu1_1 level on PACKED features: WCT/AdaIN apply + final conv.
@@ -213,7 +214,7 @@ def tail_pack2(
                 mu_i = mean[i * c : (i + 1) * c]
                 w_i = wct_ops._sqrt_kernels(
                     cov_i, -0.5, trunc, method, soft=soft_trunc,
-                    ns_iters=ns_iters,
+                    ns_iters=ns_iters, rel=rel_trunc,
                 )
                 t_i = jax.lax.dot_general(
                     w_i, k_s,

@@ -101,7 +101,7 @@ def _flatten_hwc(f: jax.Array) -> jax.Array:
 
 def _sym_pow(
     cov: jax.Array, power: float, trunc: float, soft: bool = False,
-    topk: int | None = None,
+    topk: int | None = None, rel: float | None = None,
 ) -> jax.Array:
     """Symmetric matrix power via eigh with static-shape rank truncation.
 
@@ -127,14 +127,37 @@ def _sym_pow(
     eigensolvers keep different mode counts; a fixed k removes that
     entire failure mode. Used by the matched-mask fidelity gates
     (tests/test_trained_fidelity.py) and available as a deterministic
-    rank-r WCT knob.
+    rank-r WCT knob. Kept eigenvalues are floored at ``trunc·1e-3``
+    (the soft path's floor): a caller-supplied k beyond the f32
+    numerical rank would otherwise send near-null NOISE eigenvalues —
+    possibly negative despite the eps ridge — through
+    ``sign(s)·|s|^{−1/2}`` unguarded, producing huge or sign-flipped
+    whitening modes.
+
+    ``rel`` (eigh only) replaces the ABSOLUTE 1e-5 threshold with the
+    RELATIVE one ``s > rel·s_max`` — whitening restricted to the
+    well-conditioned top of the spectrum. Measured
+    (scripts/exp_matched_mask.py relvalue vs matched_rel, DESIGN §2b):
+    at rel=1e-3 the mask is BIT-IDENTICAL between f32 eigh and the
+    float64 oracle with no forcing — the cut lands in a well-separated
+    part of the spectrum instead of inside the f32 noise cloud of the
+    near-null subspace, so this is the cross-solver-REPRODUCIBLE
+    production mode (what soft_trunc was hoped to be and measurably is
+    not: soft median 0.196 vs relvalue 0.0146 ≡ matched_rel on the
+    composed cascade).
     """
     s, u = jnp.linalg.eigh(cov)  # ascending eigenvalues
     if topk is not None:
         keep = jnp.arange(s.shape[-1]) >= s.shape[-1] - topk
-        s_pow = jnp.where(
-            keep, jnp.sign(s) * jnp.abs(jnp.where(keep, s, 1.0)) ** power, 0.0
-        )
+        s_safe = jnp.maximum(s, trunc * 1e-3)  # PSD-clamp kept noise modes
+        s_pow = jnp.where(keep, s_safe**power, 0.0)
+        return (u * s_pow[None, :]) @ u.T
+    if rel is not None:
+        # s is ascending, so s[-1] is s_max. Kept values are ≥ rel·s_max
+        # (positive whenever the feature map is non-degenerate), so no
+        # sign/clamp guard is needed on the kept set.
+        keep = s > rel * s[-1]
+        s_pow = jnp.where(keep, jnp.abs(jnp.where(keep, s, 1.0)) ** power, 0.0)
         return (u * s_pow[None, :]) @ u.T
     if soft:
         # Clamp to the PSD cone FIRST: fp32 eigh on rank-deficient
@@ -190,7 +213,7 @@ def _gram(f_flat: jax.Array) -> tuple[jax.Array, jax.Array]:
 def _sqrt_kernels(
     cov: jax.Array, power: float, trunc: float, method: Method,
     soft: bool = False, ns_iters: int | None = None,
-    topk: int | None = None,
+    topk: int | None = None, rel: float | None = None,
 ) -> jax.Array:
     """cov^{power} for power = ±1/2 with the selected eigensolver.
 
@@ -201,12 +224,31 @@ def _sqrt_kernels(
     ``sqrtm.DEFAULT_ITERS``; ignored by eigh) — NS needs ~log(κ)
     iterations, so small/well-conditioned covariances (shallow cascade
     levels) converge in fewer than the C=512 default.
-    ``topk`` (eigh only): deterministic top-k index mask — see _sym_pow.
+    ``topk`` / ``rel`` (eigh only): deterministic top-k index mask /
+    relative value threshold — see _sym_pow. Both are SPECTRUM masks,
+    which Newton–Schulz (a mask-free coupled iteration with a
+    continuous ``reg`` floor) cannot express — requesting either with a
+    non-eigh resolved method raises instead of silently dropping the
+    guarantee (the groups≠1 incompatibility raises the same way).
     """
     if method == "auto":
         method = "eigh" if cov.shape[-1] <= _AUTO_EIGH_MAX_C else "newton_schulz"
+    if method != "eigh":
+        if topk is not None:
+            raise ValueError(
+                f"trunc_topk requires the eigh path; method resolved to "
+                f"{method!r} (C={cov.shape[-1]}) has no spectrum mask to "
+                "truncate — its deterministic rank-k guarantee would be "
+                "silently dropped"
+            )
+        if rel is not None:
+            raise ValueError(
+                f"rel_trunc requires the eigh path; method resolved to "
+                f"{method!r} (C={cov.shape[-1]}) has no spectrum mask — "
+                "the relative threshold would be silently dropped"
+            )
     if method == "eigh":
-        return _sym_pow(cov, power, trunc, soft=soft, topk=topk)
+        return _sym_pow(cov, power, trunc, soft=soft, topk=topk, rel=rel)
     if method in ("newton_schulz", "newton_schulz_fast", "newton_schulz_pallas"):
         # Lazy import: keeps ops.wct importable without pallas deps.
         from wct_tpu.ops import sqrtm
@@ -232,6 +274,7 @@ def whitening_kernel(
     soft_trunc: bool = False,
     ns_iters: int | None = None,
     trunc_topk: int | None = None,
+    rel_trunc: float | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Whitening matrix + mean for content features ``fc: [H, W, C]``.
 
@@ -240,26 +283,51 @@ def whitening_kernel(
     ``groups > 1`` → block-diagonal kernel ``[G, C/G, C/G]``.
     ``trunc_topk`` (eigh, ungrouped): keep exactly the top-k modes
     instead of the 1e-5 value threshold — see _sym_pow.
+    ``rel_trunc`` (eigh): keep modes with s > rel_trunc·s_max — the
+    cross-solver-reproducible relative threshold (see _sym_pow); with
+    groups > 1 the threshold applies within each group's spectrum.
     """
     f_flat = _flatten_hwc(fc)
-    if trunc_topk is not None and groups != 1:
-        raise ValueError("trunc_topk is only supported with groups=1")
+    _check_trunc_modes(soft_trunc, trunc_topk, rel_trunc, groups)
     if groups == 1:
         cov, mean = _gram(f_flat)
         cov = cov + eps * jnp.eye(cov.shape[0], dtype=cov.dtype)
         return _sqrt_kernels(
             cov, -0.5, trunc, method, soft=soft_trunc, ns_iters=ns_iters,
-            topk=trunc_topk,
+            topk=trunc_topk, rel=rel_trunc,
         ), mean
     covs, mean = _grouped_gram(f_flat, groups)
     cg = covs.shape[-1]
     covs = covs + eps * jnp.eye(cg, dtype=covs.dtype)[None]
     kernel = jax.vmap(
         lambda c: _sqrt_kernels(
-            c, -0.5, trunc, method, soft=soft_trunc, ns_iters=ns_iters
+            c, -0.5, trunc, method, soft=soft_trunc, ns_iters=ns_iters,
+            rel=rel_trunc,
         )
     )(covs)
     return kernel, mean
+
+
+def _check_trunc_modes(
+    soft: bool, topk: int | None, rel: float | None, groups: int = 1
+) -> None:
+    """The three truncation overrides are mutually exclusive modes."""
+    chosen = [
+        n
+        for n, on in (
+            ("soft_trunc", soft), ("trunc_topk", topk is not None),
+            ("rel_trunc", rel is not None),
+        )
+        if on
+    ]
+    if len(chosen) > 1:
+        raise ValueError(
+            f"truncation modes are mutually exclusive; got {chosen}"
+        )
+    if topk is not None and groups != 1:
+        raise ValueError("trunc_topk is only supported with groups=1")
+    if rel is not None and not 0.0 < rel < 1.0:
+        raise ValueError(f"rel_trunc must be in (0, 1), got {rel}")
 
 
 def whiten_color_kernels(
@@ -269,6 +337,7 @@ def whiten_color_kernels(
     trunc: float = DEFAULT_TRUNC,
     method: Method = "eigh",
     soft_trunc: bool = False,
+    rel_trunc: float | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """(whitening kernel, coloring kernel, mean) from ONE decomposition.
 
@@ -279,13 +348,19 @@ def whiten_color_kernels(
     factored once (and Newton–Schulz already yields both powers in one
     coupled iteration). ``soft_trunc`` selects the same continuous
     eigenvalue filter as ``_sym_pow`` (cascade plumbs
-    ``cfg.soft_trunc`` here so ``--swap5 --soft-trunc`` compose).
+    ``cfg.soft_trunc`` here so ``--swap5 --soft-trunc`` compose);
+    ``rel_trunc`` the relative threshold (``--swap5 --rel-trunc``).
     """
     f_flat = _flatten_hwc(f)
+    _check_trunc_modes(soft_trunc, None, rel_trunc)
     cov, mean = _gram(f_flat)
     cov = cov + eps * jnp.eye(cov.shape[0], dtype=cov.dtype)
     if method == "auto":
         method = "eigh" if cov.shape[-1] <= _AUTO_EIGH_MAX_C else "newton_schulz"
+    if rel_trunc is not None and method != "eigh":
+        raise ValueError(
+            f"rel_trunc requires the eigh path; method resolved to {method!r}"
+        )
     if method == "eigh":
         s, u = jnp.linalg.eigh(cov)
         if soft_trunc:
@@ -294,9 +369,10 @@ def whiten_color_kernels(
             inv_d = filt * jnp.maximum(s_pos, trunc * 1e-3) ** -0.5
             sq_d = filt * s_pos**0.5
         else:
-            keep = s > trunc
-            inv_d = jnp.where(keep, jnp.abs(s) ** -0.5, 0.0)
-            sq_d = jnp.where(keep, jnp.abs(s) ** 0.5, 0.0)
+            keep = s > (rel_trunc * s[-1] if rel_trunc is not None else trunc)
+            safe = jnp.where(keep, s, 1.0)
+            inv_d = jnp.where(keep, jnp.abs(safe) ** -0.5, 0.0)
+            sq_d = jnp.where(keep, jnp.abs(safe) ** 0.5, 0.0)
         inv = (u * inv_d[None, :]) @ u.T
         sq = (u * sq_d[None, :]) @ u.T
         return inv, sq, mean
@@ -319,6 +395,7 @@ def style_stats(
     groups: int = 1,
     soft_trunc: bool = False,
     trunc_topk: int | None = None,
+    rel_trunc: float | None = None,
 ) -> StyleStats:
     """Compute cacheable coloring statistics from style features [H, W, C].
 
@@ -332,22 +409,25 @@ def style_stats(
     decompositions and often visually comparable; the stats kernel then
     has shape ``[G, C/G, C/G]``. groups=1 is exact reference behavior.
     ``trunc_topk``: deterministic top-k truncation — see _sym_pow.
+    ``rel_trunc``: relative threshold s > rel·s_max — see _sym_pow.
     """
     f_flat = _flatten_hwc(fs)
-    if trunc_topk is not None and groups != 1:
-        raise ValueError("trunc_topk is only supported with groups=1")
+    _check_trunc_modes(soft_trunc, trunc_topk, rel_trunc, groups)
     if groups == 1:
         cov, mean = _gram(f_flat)
         cov = cov + eps * jnp.eye(cov.shape[0], dtype=cov.dtype)
         kernel = _sqrt_kernels(
-            cov, 0.5, trunc, method, soft=soft_trunc, topk=trunc_topk
+            cov, 0.5, trunc, method, soft=soft_trunc, topk=trunc_topk,
+            rel=rel_trunc,
         )
         return StyleStats(kernel=kernel, mean=mean)
     covs, mean = _grouped_gram(f_flat, groups)
     cg = covs.shape[-1]
     covs = covs + eps * jnp.eye(cg, dtype=covs.dtype)[None]
     kernel = jax.vmap(
-        lambda c: _sqrt_kernels(c, 0.5, trunc, method, soft=soft_trunc)
+        lambda c: _sqrt_kernels(
+            c, 0.5, trunc, method, soft=soft_trunc, rel=rel_trunc
+        )
     )(covs)
     return StyleStats(kernel=kernel, mean=mean)
 
@@ -444,6 +524,7 @@ def wct_transform(
     groups: int = 1,
     soft_trunc: bool = False,
     ns_iters: int | None = None,
+    rel_trunc: float | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """The WCT as an explicit per-image affine: ``(M [C, C], bias [C])``.
 
@@ -459,7 +540,7 @@ def wct_transform(
     c = fc.shape[-1]
     w_c, mu_c = whitening_kernel(
         fc, eps=eps, trunc=trunc, method=method, groups=groups,
-        soft_trunc=soft_trunc, ns_iters=ns_iters,
+        soft_trunc=soft_trunc, ns_iters=ns_iters, rel_trunc=rel_trunc,
     )
     k_s = stats.kernel.astype(jnp.float32)
     if w_c.ndim != k_s.ndim:
@@ -512,6 +593,7 @@ def wct_from_stats(
     soft_trunc: bool = False,
     ns_iters: int | None = None,
     trunc_topk: int | None = None,
+    rel_trunc: float | None = None,
 ) -> jax.Array:
     """Apply WCT to content features [H, W, C] given cached style stats.
 
@@ -543,6 +625,7 @@ def wct_from_stats(
     w_c, mu_c = whitening_kernel(
         fc, eps=eps, trunc=trunc, method=method, groups=groups,
         soft_trunc=soft_trunc, ns_iters=ns_iters, trunc_topk=trunc_topk,
+        rel_trunc=rel_trunc,
     )
     k_s = stats.kernel.astype(jnp.float32)
     if w_c.ndim != k_s.ndim:
@@ -592,6 +675,7 @@ def wct(
     groups: int = 1,
     soft_trunc: bool = False,
     trunc_topk: tuple[int, int] | None = None,
+    rel_trunc: float | None = None,
 ) -> jax.Array:
     """Whitening–coloring transform, single image.
 
@@ -601,16 +685,17 @@ def wct(
     (ops.py:~65) minus the batch-squeeze: batching here is explicit via
     ``wct_batched``. ``groups > 1`` selects grouped (block-diagonal)
     WCT — see ``style_stats``. ``trunc_topk=(k_c, k_s)`` selects
-    deterministic top-k truncation per side — see _sym_pow.
+    deterministic top-k truncation per side; ``rel_trunc`` the
+    relative threshold — see _sym_pow.
     """
     k_c, k_s = trunc_topk if trunc_topk is not None else (None, None)
     stats = style_stats(
         fs, eps=eps, trunc=trunc, method=method, groups=groups,
-        soft_trunc=soft_trunc, trunc_topk=k_s,
+        soft_trunc=soft_trunc, trunc_topk=k_s, rel_trunc=rel_trunc,
     )
     return wct_from_stats(
         fc, stats, alpha, eps=eps, trunc=trunc, method=method, groups=groups,
-        soft_trunc=soft_trunc, trunc_topk=k_c,
+        soft_trunc=soft_trunc, trunc_topk=k_c, rel_trunc=rel_trunc,
     )
 
 

@@ -123,6 +123,97 @@ def normalize_encoder(
     return out, report
 
 
+def normalize_bundle_compensated(
+    bundle: dict, pool: np.ndarray, chunk: int = 8, floor: float = 1e-4
+) -> tuple[dict, dict]:
+    """FUNCTION-PRESERVING activation normalisation of a trained bundle.
+
+    Round-4 variant (VERDICT r3 item 1): ``normalize_encoder`` rescales
+    each conv to unit mean activation but does NOT compensate the next
+    layer, so the normalised encoder is a genuinely different function
+    and decoders must be retrained. That was fine for a random encoder;
+    for a TRAINED one (scripts/train_encoder.py) the function is the
+    asset. This version is the Gatys procedure proper:
+
+    - conv ℓ's weights/bias are scaled per-output-channel by
+      ``s_ℓ = 1/mean_act`` (positive scales commute with ReLU and with
+      max-pooling);
+    - the NEXT conv's input weights are multiplied by ``1/s_ℓ``, so
+      every layer's pre-scale output — and therefore the whole trunk as
+      a function — is unchanged except that layer ℓ's emitted features
+      are per-channel rescaled by ``s_ℓ``;
+    - each decoder's FIRST conv absorbs its level's ``1/s`` the same
+      way, so ``decode(encode(x))`` is preserved to fp roundoff.
+
+    Result: identical reconstruction quality, unit-mean activations
+    everywhere (the property the real vgg_normalised.t7 has, and what
+    keeps WCT/AdaIN statistics and eps/trunc constants O(1)-scaled).
+    Returns ``({'encoder':..., 'decoders':...}, report)``.
+    """
+    from wct_tpu.models import decoder as dec_lib
+
+    enc = {k: dict(v) for k, v in bundle["encoder"].items()}
+    decs = {
+        t: {n: dict(c) for n, c in d.items()}
+        for t, d in bundle["decoders"].items()
+    }
+    conv_names = [s[1] for s in vgg.ENCODER_LAYERS if s[0] == "conv"]
+    next_conv = dict(zip(conv_names, conv_names[1:]))
+    report: dict[str, dict] = {}
+
+    chunks = [pool[i : i + chunk] for i in range(0, len(pool), chunk)]
+    acts = [jnp.asarray(c, jnp.float32) for c in chunks]
+    for spec in vgg.ENCODER_LAYERS:
+        if spec[0] == "pool":
+            acts = [maxpool2(a) for a in acts]
+            continue
+        kind, name, *_ = spec
+        p = enc[name]
+        ys = []
+        while acts:
+            a = acts.pop(0)
+            y = conv2d_reflect(a, p["w"], p["b"])
+            if kind != "conv_pre":
+                y = jax.nn.relu(y)
+            ys.append(y)
+        if kind == "conv_pre":  # preprocessing conv stays verbatim
+            acts = ys
+            continue
+        tot = sum(y.shape[0] * jnp.mean(y, axis=(0, 1, 2)) for y in ys)
+        mean = np.asarray(tot / len(pool), np.float32)
+        scale = np.where(mean > floor, 1.0 / np.maximum(mean, floor), 1.0)
+        s = jnp.asarray(scale, jnp.float32)
+        inv = jnp.asarray(1.0 / scale, jnp.float32)
+        enc[name] = {
+            "w": p["w"].astype(jnp.float32) * s[None, None, None, :],
+            "b": p["b"].astype(jnp.float32) * s,
+        }
+        # compensate the next encoder conv's input channels (exact)
+        nxt = next_conv.get(name)
+        if nxt is not None:
+            q = enc[nxt]
+            enc[nxt] = {
+                "w": q["w"].astype(jnp.float32) * inv[None, None, :, None],
+                "b": q["b"],
+            }
+        # compensate the first conv of the decoder that consumes this
+        # conv's features (only reluN_1 convs feed decoders)
+        level = f"relu{name[4]}_1" if name.endswith("_1") else None
+        if level in decs:
+            first = dec_lib.decoder_layers(level)[0][1]
+            d = decs[level][first]
+            decs[level][first] = {
+                "w": d["w"].astype(jnp.float32) * inv[None, None, :, None],
+                "b": d["b"],
+            }
+        acts = [y * s[None, None, None, :] for y in ys]
+        report[name] = {
+            "mean_before": float(mean.mean()),
+            "dead_channels": int((mean <= floor).sum()),
+        }
+    return {"encoder": enc, "decoders": decs}, report
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter

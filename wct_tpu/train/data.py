@@ -214,6 +214,181 @@ def synthetic_image(
     return np.clip(img, 0.0, 1.0).astype(np.float32)
 
 
+def train_photo_paths() -> list:
+    """Real photographs bundled with the environment that are LEGAL for
+    training: the held-out real-photo eval (scripts/eval_bundle.py)
+    scores the α=0 cascade on matplotlib's grace_hopper.jpg, so that
+    file is excluded here; sklearn's china/flower (used only as style
+    images at eval, which the α=0 reconstruction metric never touches)
+    provide the only genuinely natural training statistics available
+    offline (round-4 pool richness, VERDICT r3 item 2).
+    """
+    import site
+    from pathlib import Path
+
+    out = []
+    for cand in (
+        "sklearn/datasets/images/china.jpg",
+        "sklearn/datasets/images/flower.jpg",
+    ):
+        for sp in site.getsitepackages():
+            f = Path(sp) / cand
+            if f.exists():
+                out.append(f)
+                break
+    return out
+
+
+def _load_photos(size_hint: int = 512) -> list:
+    """Decode the training photos once (module cache), shorter side ≥ hint."""
+    global _PHOTO_CACHE
+    try:
+        return _PHOTO_CACHE
+    except NameError:
+        pass
+    from wct_tpu.utils import images as img_utils
+
+    photos = []
+    for p in train_photo_paths():
+        try:
+            img = img_utils.get_img(p)  # float [0,1] RGB
+            photos.append(np.ascontiguousarray(img))
+        except Exception as e:  # noqa: BLE001
+            print(f"[data] skipping photo {p}: {e}")
+    _PHOTO_CACHE = photos
+    return photos
+
+
+def synthetic_image_v2(
+    rng: np.random.Generator, size: int, photos: list | None = None
+) -> np.ndarray:
+    """Round-4 pool recipe: v1 composites + natural-statistics variants.
+
+    Measured motivation (VERDICT r3 items 1/2): decoders trained on the
+    v1 pool generalize to real photographs 3.5 dB worse than to held-out
+    procedural images, and the 2048-image pool overfit past 15k steps.
+    v2 keeps the v1 generator (so the round-3 eval distribution stays a
+    subset) and adds, with equal probability:
+
+    - photo-patch mosaics: random rescaled crops of the bundled
+      training photographs (``train_photo_paths`` — the real-photo eval
+      content is EXCLUDED) blended over a v1 background with random
+      per-patch color jitter/flips — real second-order statistics,
+      edges-with-texture, and true camera grain;
+    - warped fractal fields: multi-octave value noise sampled through a
+      noise-displaced coordinate grid (cv2.remap) — the curved,
+      non-axis-aligned structure photographs have and plaids do not;
+    - defocus composites: a v1 composite with a depth-of-field split —
+      one soft-masked region Gaussian-blurred — plus global gamma,
+      vignette, and sensor-noise finishing.
+    """
+    import cv2
+
+    if photos is None:
+        photos = _load_photos()
+    kind = rng.random()
+    if kind < 0.4 or not photos:  # v1 recipe (round-3 distribution)
+        img = synthetic_image(rng, size)
+        if kind >= 0.4:
+            kind = 0.41  # photo path unavailable → treat as defocus base
+    if kind < 0.4 and rng.random() < 0.5:
+        return img  # pure v1, no finishing (keeps the exact v1 subset)
+    if 0.4 <= kind < 0.7 and photos:
+        # photo-patch mosaic over a v1 background
+        img = synthetic_image(rng, size)
+        for _ in range(int(rng.integers(2, 6))):
+            ph = photos[int(rng.integers(0, len(photos)))]
+            h, w = ph.shape[:2]
+            # crop size in source pixels; rescaled to target patch size
+            ps = int(rng.integers(size // 4, size))
+            ss = int(rng.integers(min(64, h // 2, w // 2), min(h, w)))
+            y0 = int(rng.integers(0, h - ss + 1))
+            x0 = int(rng.integers(0, w - ss + 1))
+            patch = cv2.resize(ph[y0 : y0 + ss, x0 : x0 + ss], (ps, ps),
+                               interpolation=cv2.INTER_AREA)
+            if rng.random() < 0.5:
+                patch = patch[:, ::-1]
+            if rng.random() < 0.25:
+                patch = np.rot90(patch, int(rng.integers(1, 4)))
+                ps = patch.shape[0]
+            # per-patch color jitter: channel gains + brightness shift
+            gain = rng.uniform(0.6, 1.3, 3).astype(np.float32)
+            patch = np.clip(patch * gain + rng.uniform(-0.15, 0.15), 0, 1)
+            ty = int(rng.integers(-ps // 3, size - 2 * ps // 3))
+            tx = int(rng.integers(-ps // 3, size - 2 * ps // 3))
+            sy, sx = max(ty, 0), max(tx, 0)
+            ey, ex = min(ty + ps, size), min(tx + ps, size)
+            if ey <= sy or ex <= sx:
+                continue
+            pview = patch[sy - ty : ey - ty, sx - tx : ex - tx]
+            # soft-edged alpha so patch borders don't dominate gradients
+            yy = np.linspace(0, 1, pview.shape[0], dtype=np.float32)
+            xx = np.linspace(0, 1, pview.shape[1], dtype=np.float32)
+            edge = rng.uniform(6, 30)
+            ay = np.clip(np.minimum(yy, 1 - yy) * edge, 0, 1)
+            ax = np.clip(np.minimum(xx, 1 - xx) * edge, 0, 1)
+            a = (ay[:, None] * ax[None, :] * rng.uniform(0.7, 1.0))[..., None]
+            img[sy:ey, sx:ex] = img[sy:ey, sx:ex] * (1 - a) + pview * a
+    elif 0.7 <= kind:
+        # warped fractal field: sample noise through displaced coords
+        base = 0.5 + 0.5 * _fractal_noise(rng, size, octaves=6)
+        amp = rng.uniform(0.02, 0.12) * size
+        dy = _fractal_noise(rng, size, octaves=3)[:, :, 0] * amp
+        dx = _fractal_noise(rng, size, octaves=3)[:, :, 1] * amp
+        gy, gx = np.mgrid[0:size, 0:size].astype(np.float32)
+        img = cv2.remap(
+            base.astype(np.float32),
+            np.clip(gx + dx, 0, size - 1), np.clip(gy + dy, 0, size - 1),
+            interpolation=cv2.INTER_LINEAR,
+        )
+        tint = rng.uniform(0.4, 1.0, 3).astype(np.float32)
+        img = np.clip(img * tint + rng.uniform(0, 0.25, 3), 0, 1)
+    # (0.4 <= kind < 0.7 without photos falls through with the v1 img)
+
+    # defocus split: blur one soft region (depth-of-field statistics)
+    if rng.random() < 0.4:
+        k = int(rng.integers(2, 7)) * 2 + 1
+        blurred = cv2.GaussianBlur(img, (k, k), 0)
+        cy, cx = rng.uniform(0, 1, 2)
+        r = rng.uniform(0.3, 0.8)
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+        d = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+        m = np.clip((d - r) * rng.uniform(3, 10) + 0.5, 0, 1)[..., None]
+        img = img * (1 - m) + blurred * m
+    # global finishing: gamma, vignette, sensor noise
+    if rng.random() < 0.5:
+        img = np.clip(img, 0, 1) ** rng.uniform(0.7, 1.4)
+    if rng.random() < 0.3:
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+        v = 1.0 - rng.uniform(0.1, 0.4) * (
+            (yy - 0.5) ** 2 + (xx - 0.5) ** 2
+        ) * 4
+        img = img * v[..., None]
+    img = img + rng.normal(0, rng.uniform(0.002, 0.015), img.shape)
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+def rich_pool(
+    pool_size: int, crop_size: int, seed: int = 0, verbose: bool = False
+) -> np.ndarray:
+    """Round-4 training pool: ``pool_size`` v2 images as one uint8 array.
+
+    16384 images at 256px is 3.2 GB uint8 — device-residentable on a
+    16 GB v5e next to the joint-training state. 8× the round-3 pool
+    (2048), where overfit onset was measured past 15k steps.
+    """
+    rng = np.random.default_rng(seed)
+    photos = _load_photos()
+    out = np.empty((pool_size, crop_size, crop_size, 3), np.uint8)
+    for i in range(pool_size):
+        out[i] = (synthetic_image_v2(rng, crop_size, photos) * 255).astype(
+            np.uint8
+        )
+        if verbose and (i + 1) % 2048 == 0:
+            print(f"[data] pool {i + 1}/{pool_size}", flush=True)
+    return out
+
+
 def synthetic_batches(
     batch_size: int, crop_size: int = 256, seed: int = 0,
     pool_size: int = 0,
