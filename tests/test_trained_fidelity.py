@@ -268,3 +268,49 @@ def test_decoder_reconstruction_psnr_floors(setup):
         )
         psnr = 10 * np.log10(1.0 / mse)
         assert psnr >= floor, f"{target}: {psnr:.1f} dB < floor {floor}"
+
+
+def test_composed_cascade_matched_mask_tight(setup):
+    """FULL 5-level cascade under MATCHED masks: the tight composed gate.
+
+    Round-4 (VERDICT r3 item 4): the proven mechanism (DESIGN §2b —
+    value-mask flips of f32 noise eigenvalues are the dominant
+    cross-solver term) is used to pin the WHOLE pipeline, not just
+    single levels: at every level the float64 oracle's keep-counts are
+    forced into both the production f32 path (ops.wct trunc_topk) and
+    the oracle (force_k), so what remains is per-level fp tolerance ×
+    the cascade's amplification — measured median 1.3e-2 at 256px
+    (ckpt_r3w/matched_mask_256.json) and of the same order here at
+    160px. The gate sits ~3× over measured, replacing reliance on the
+    0.25 unmatched-median tripwire (which stays, as a tripwire).
+    """
+    import jax.numpy as jnp
+
+    from wct_tpu.models import decoder as dec_lib
+    from wct_tpu.models import vgg
+    from wct_tpu.ops import wct as wct_ops
+    from wct_tpu.tools.oracle import (
+        decode_np, encode_np, wct_np, wct_ranks_np,
+    )
+
+    params, content, style = setup
+    alpha = 0.8
+    img_np = content.astype(np.float64)
+    img_j = jnp.asarray(content)
+    style64 = style.astype(np.float64)
+    for lvl in ("relu5_1", "relu4_1", "relu3_1", "relu2_1", "relu1_1"):
+        fc64 = encode_np(params["encoder"], img_np, lvl)
+        fs64 = encode_np(params["encoder"], style64, lvl)
+        k_c, k_s = wct_ranks_np(fc64, fs64)
+        f64 = wct_np(fc64, fs64, alpha, force_k=(k_c, k_s))
+        img_np = decode_np(params["decoders"][lvl], f64, lvl)
+
+        fc32 = vgg.encode(params["encoder"], img_j[None], lvl)[0]
+        fs32 = vgg.encode(params["encoder"], jnp.asarray(style)[None], lvl)[0]
+        f32 = wct_ops.wct(fc32, fs32, alpha, trunc_topk=(k_c, k_s))
+        img_j = dec_lib.decode(params["decoders"][lvl], f32[None], lvl)[0]
+
+    ours = np.clip(np.asarray(img_j, np.float64), 0, 1)
+    ref = np.clip(img_np, 0, 1)
+    d = np.abs(ours - ref)
+    assert np.median(d) < 4e-2, f"median {np.median(d):.3e}"
