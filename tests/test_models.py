@@ -594,6 +594,34 @@ class TestPack2Junction:
         off = cascade.stylize(params, c, cache, 0.6, cfg_off)
         assert float(jnp.max(jnp.abs(on - off))) < 2e-2
 
+    def test_pack2_tail_only_matches_unpacked(self, params, imgs):
+        """pack2_tail_only (round-4 resolution-scoped packing): the
+        junctions run unpacked, only the relu1_1 tail packs — output
+        must still match the plain cascade, and the config must refuse
+        tail_only without pack2."""
+        import dataclasses
+
+        import pytest
+
+        content, style = imgs
+        cfg = cascade.CascadeConfig(
+            relu_targets=("relu3_1", "relu2_1", "relu1_1"),
+            pack2_junction=True, pack2_tail_only=True,
+        )
+        cfg_off = cascade.CascadeConfig(
+            relu_targets=("relu3_1", "relu2_1", "relu1_1"),
+        )
+        cache = cascade.precompute_style(
+            params["encoder"], jnp.asarray(style), cfg
+        )
+        rng = np.random.default_rng(6)
+        c = jnp.asarray(rng.random((2,) + content.shape[1:]), jnp.float32)
+        on = cascade.stylize(params, c, cache, 0.7, cfg)
+        off = cascade.stylize(params, c, cache, 0.7, cfg_off)
+        assert float(jnp.max(jnp.abs(on - off))) < 2e-2
+        with pytest.raises(ValueError, match="pack2_tail_only"):
+            cascade.CascadeConfig(pack2_tail_only=True)
+
     def test_packed_tail_adain_mode(self, params, imgs):
         import dataclasses
 

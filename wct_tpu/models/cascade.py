@@ -139,6 +139,16 @@ class CascadeConfig:
     # (off-diagonal blocks are exact zeros); fp rounding differs like
     # any retiling. Odd batches take the unpacked path.
     pack2_junction: bool = False
+    # Resolution-scoped packing (round 4, VERDICT r3 item 3): apply
+    # pack2 ONLY to the relu1_1 tail (per-image stats + α-blended
+    # transform + final conv on packed pairs) and keep the level
+    # junctions unpacked. Motivation: whole-pipeline pack2 measured
+    # +8% at 512px but −24% at batch-8 1024px — the junction's
+    # block-diagonal 128-ch convs do 2× MACs for the lane fill, a wash
+    # at 512px but a loss where maps are 4× bigger, while the tail's
+    # win (no 64→128 lane-padding copy on the [N, 64] reshape) scales
+    # WITH pixels. Requires pack2_junction=True.
+    pack2_tail_only: bool = False
 
     def __post_init__(self):
         from wct_tpu.models import vgg  # local: avoid import cycle
@@ -218,6 +228,11 @@ class CascadeConfig:
                 "pack2_junction is mutually exclusive with fuse_junction "
                 "and fold_transform (all three rewrite the same decoder "
                 "tail / encoder head segment)"
+            )
+        if self.pack2_tail_only and not self.pack2_junction:
+            raise ValueError(
+                "pack2_tail_only scopes pack2_junction and requires it "
+                "to be enabled"
             )
 
     def ns_iters_for(self, level: str) -> int | None:
@@ -411,13 +426,16 @@ def stylize_fn(
     junction_ok = (
         cfg.fuse_junction and (h + pad_h) % 16 == 0 and (w + pad_w) % 16 == 0
     )
-    pack2_ok = cfg.pack2_junction and b % 2 == 0
+    pack2_all = cfg.pack2_junction and b % 2 == 0
+    # pack2_tail_only: junctions/head stay unpacked; only the relu1_1
+    # tail packs (resolution-scoped — see CascadeConfig).
+    pack2_ok = pack2_all and not cfg.pack2_tail_only
     # Packed relu1_1 tail (ops/pack2.py::tail_pack2): per-image stats,
     # the α-blended transform AND the final 64→3 conv all run on the
     # [B/2, ..., 128] packed pair — no 64→128 lane-padding copies.
     # Grouped WCT keeps the unpacked path (block-diag-of-block-diag is
     # not worth the plumbing).
-    pack_tail_ok = pack2_ok and cfg.wct_groups == 1
+    pack_tail_ok = pack2_all and cfg.wct_groups == 1
     state_kind, state_val = "img", img
     for _ in range(cfg.passes):
         for li, level in enumerate(cfg.relu_targets):
