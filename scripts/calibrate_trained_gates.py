@@ -133,6 +133,24 @@ def main(argv=None) -> int:
               f"median {np.median(dm):.2e} q99 {np.quantile(dm, 0.99):.2e} "
               f"max {dm.max():.2e}")
 
+    # -- gate 2c: COMPOSED-cascade matched-mask (round-4 gate) --
+    img_np = content.astype(np.float64)
+    img_j = jnp.asarray(content)
+    for lvl in ("relu5_1", "relu4_1", "relu3_1", "relu2_1", "relu1_1"):
+        fc64 = encode_np(params["encoder"], img_np, lvl)
+        fs64 = encode_np(params["encoder"], style.astype(np.float64), lvl)
+        k_c, k_s = wct_ranks_np(fc64, fs64)
+        f64 = wct_np(fc64, fs64, 0.8, force_k=(k_c, k_s))
+        img_np = decode_np(params["decoders"][lvl], f64, lvl)
+        fc32 = vgg.encode(params["encoder"], img_j[None], lvl)[0]
+        fs32 = vgg.encode(params["encoder"], jnp.asarray(style)[None], lvl)[0]
+        f32 = wct_ops.wct(fc32, fs32, 0.8, trunc_topk=(k_c, k_s))
+        img_j = dec_lib.decode(params["decoders"][lvl], f32[None], lvl)[0]
+    dc = np.abs(np.clip(np.asarray(img_j, np.float64), 0, 1)
+                - np.clip(img_np, 0, 1))
+    print(f"[gate2c composed-matched] median {np.median(dc):.2e} "
+          f"q99 {np.quantile(dc, 0.99):.2e} frac>0.05 {(dc > 0.05).mean():.4f}")
+
     # -- gate 3: per-level reconstruction PSNR (test's exact recipe) --
     rng3 = np.random.default_rng(424242)
     batch = np.stack([synthetic_image(rng3, size) for _ in range(4)])
