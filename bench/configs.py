@@ -137,13 +137,24 @@ def main() -> None:
     # lane packing still pay at 4× the pixels, or does HBM pressure eat
     # it? Falls back silently if the packed graph cannot compile.
     if args.dtype == "bfloat16":
-        try:
-            cfg_p = cascade.CascadeConfig(pack2_junction=True, **kw)
-            cache_p = cascade.precompute_style(params["encoder"], style_hr, cfg_p)
-            fn_p = lambda x: cascade.stylize(params, x, cache_p, 0.6, cfg_p)
-            record("4_batch8_1024px_pack2", fps=pipelined_fps(fn_p, b8, rounds))
-        except Exception as e:  # noqa: BLE001
-            log(f"config-4 pack2 variant failed: {str(e).splitlines()[0][:100]}")
+        for vname, vkw in (
+            ("4_batch8_1024px_pack2", dict(pack2_junction=True)),
+            # tail-only scope (round 4): keep the level junctions
+            # unpacked (their pack/unpack copies lose at 4x pixels) and
+            # pack only the relu1_1 tail, whose lane-padding win scales
+            # WITH pixels.
+            ("4_batch8_1024px_pack2_tail", dict(pack2_junction=True,
+                                                pack2_tail_only=True)),
+        ):
+            try:
+                cfg_p = cascade.CascadeConfig(**vkw, **kw)
+                cache_p = cascade.precompute_style(
+                    params["encoder"], style_hr, cfg_p
+                )
+                fn_p = lambda x: cascade.stylize(params, x, cache_p, 0.6, cfg_p)
+                record(vname, fps=pipelined_fps(fn_p, b8, rounds))
+            except Exception as e:  # noqa: BLE001
+                log(f"{vname} failed: {str(e).splitlines()[0][:100]}")
 
     # ---- config 5: 720p streaming with persistent style cache ----
     cfg = cascade.CascadeConfig(**kw)
