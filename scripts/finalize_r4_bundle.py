@@ -145,6 +145,18 @@ def main(argv=None) -> int:
           flush=True)
     assert worst < 1e-3, "compensated normalisation changed the function"
 
+    # mixed-precision storage: f16 where it fits, f32 where the
+    # compensated normalisation blew magnitudes past f16 range (near-
+    # dead channels get huge next-conv compensation factors; measured
+    # conv5_1 |w|max 3.8e5 on the round-4 bundle). load_pytree upcasts
+    # f16 back to f32, so compute is identical either way.
+    def to_storage(x):
+        x = np.asarray(x)
+        if x.dtype == np.float32 and np.abs(x).max() < 3e4:
+            return x.astype(np.float16)
+        return x
+
+    normed = jax.tree.map(to_storage, jax.device_get(normed))
     checkpoint.save_pytree(args.out, normed)
     print(f"wrote {args.out}", flush=True)
     return 0

@@ -21,11 +21,10 @@ python -u scripts/eval_style_quality.py "$W/bundle_r3_frozen.npz" \
   "$W/bundle_r4.npz" --evaluator "$W/bundle_r4.npz" \
   --out "$W/style_quality_r4eval.json"
 
-echo "=== ablation: decoders-only on the same rich pool (6k steps) ==="
-# isolates the ENCODER-training effect from the data-richness effect:
-# same init, same pool, encoder frozen at the round-3 weights.
-python -u scripts/train_encoder.py --out-dir "$W/ablate_frozen" \
-  --pool-file "$W/pool_16384_256.npy" --steps 6000 --batch 16 \
-  --eval-every 500 --save-every 2000 --freeze-encoder
-
 echo "=== post_train_r4 done ==="
+# The frozen-encoder ablation (decoders-only on the same rich pool —
+# isolates the encoder-training effect from the data-richness effect)
+# runs separately AFTER the bench sweep so headline numbers land first:
+#   python -u scripts/train_encoder.py --out-dir ckpt_r4/ablate_frozen \
+#     --pool-file ckpt_r4/pool_16384_256.npy --steps 6000 --batch 16 \
+#     --eval-every 500 --save-every 2000 --freeze-encoder
