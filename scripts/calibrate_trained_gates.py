@@ -115,7 +115,11 @@ def main(argv=None) -> int:
     from wct_tpu.ops import wct as wct_ops
     from wct_tpu.tools.oracle import decode_np, encode_np, wct_np, wct_ranks_np
 
-    for lvl in ("relu4_1", "relu5_1"):
+    # round-4: the TRAINED encoder made relu2_1/relu3_1 rank-deficient
+    # too (measured k ~ 125/128 and 199/256 at 160px, with dozens of
+    # eigenvalues near the 1e-5 threshold) — measure their matched form
+    # as well so their gates can move to the same mechanism.
+    for lvl in ("relu2_1", "relu3_1", "relu4_1", "relu5_1"):
         fc64 = encode_np(params["encoder"], content.astype(np.float64), lvl)
         fs64 = encode_np(params["encoder"], style.astype(np.float64), lvl)
         k_c, k_s = wct_ranks_np(fc64, fs64)

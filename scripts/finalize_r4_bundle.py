@@ -53,6 +53,13 @@ def main(argv=None) -> int:
     ap.add_argument("--lam", type=float, default=1e-4)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--n-eval", type=int, default=8)
+    ap.add_argument("--norm-stat", default="rms", choices=("mean", "rms"),
+                    help="per-channel statistic normalised to 1. rms "
+                    "(default) bounds channel variances at 1 — joint "
+                    "training produces spiky channels (mean~1, sigma~1600) "
+                    "that wreck WCT spectrum conditioning under 'mean' "
+                    "(see normalize_encoder.py docstring for the measured "
+                    "ledger)")
     ap.add_argument("--skip-resolve", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
@@ -132,7 +139,9 @@ def main(argv=None) -> int:
         np.asarray(pool[: args.norm_images], np.float32) / 255.0
     )
     bundle = {"encoder": enc, "decoders": decs}
-    normed, report = normalize_bundle_compensated(bundle, norm_pool)
+    normed, report = normalize_bundle_compensated(
+        bundle, norm_pool, stat=args.norm_stat
+    )
     worst = 0.0
     for t in vgg.RELU_TARGETS:
         a = np.asarray(dec_lib.decode(

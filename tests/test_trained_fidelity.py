@@ -22,8 +22,17 @@ loose indulgences, using the mechanism proven in DESIGN §2b:
   rest is ~100× cascade amplification of per-level fp tolerance).
 
 All bounds measured by ``scripts/calibrate_trained_gates.py --size
-160`` on the shipped round-3 bundle and set with explicit margin;
-measured values quoted per gate.
+160 --cpu`` (tests run on the CPU backend — constants must be measured
+there; TPU medians differ ~3x) on the shipped ROUND-4 bundle and set
+with explicit margin; measured values quoted per gate.
+
+Round-4 revision: the TRAINED encoder initially made relu2_1
+solver-pathological (one spiky channel -> a 2.6e6 covariance
+eigenvalue, 65 near-threshold modes, cross-solver q99 0.29); the
+unit-RMS compensated normalisation (tools/normalize_encoder.py,
+stat='rms') removed the pathology at the source, after which EVERY
+gate below measures tighter than round 3 — including the previously
+indulgent unmatched tripwires.
 """
 
 from pathlib import Path
@@ -57,8 +66,8 @@ def test_alpha0_cascade_matches_oracle_hard(setup):
 
     Five encode→decode round trips through every conv/pool/upsample in
     the system, compiled as ONE program, vs pure numpy float64.
-    Measured (160px, r3 bundle): median 4.9e-6, q99 5.2e-5, max 1.8e-4.
-    Bounds ~20×.
+    Measured (160px, r4 RMS bundle): q99 2.7e-7, max 9.9e-7.
+    Bounds ~40×.
     """
     import jax.numpy as jnp
 
@@ -71,8 +80,8 @@ def test_alpha0_cascade_matches_oracle_hard(setup):
         params, jnp.asarray(content), jnp.asarray(style), 0.0, cfg))
     ref = cascade_np(params, content, style, 0.0, cfg.relu_targets)
     d = np.abs(ours.astype(np.float64) - ref.astype(np.float64))
-    assert np.quantile(d, 0.99) < 1e-3, f"q99 {np.quantile(d, 0.99):.2e}"
-    assert d.max() < 5e-3, f"max {d.max():.2e}"
+    assert np.quantile(d, 0.99) < 1e-5, f"q99 {np.quantile(d, 0.99):.2e}"
+    assert d.max() < 5e-5, f"max {d.max():.2e}"
 
 
 def test_single_level_within_eigensolver_tolerance(setup):
@@ -80,9 +89,12 @@ def test_single_level_within_eigensolver_tolerance(setup):
 
     THE north-star clause ("output matching reference stylize.py
     pixel-wise within eigensolver tolerance"), executable for the
-    FULL-RANK levels where the production value mask is flip-free.
-    Measured q99 (160px, r3 bundle): 5.7e-7 / 7.7e-6 / 4.8e-6; max
-    ≤ 1.6e-5. Bounds >60×.
+    levels whose production value mask is flip-free (r4 RMS bundle:
+    relu1_1 is full-rank; relu2_1/relu3_1 carry a handful of masked
+    modes but measured flip-free at this seed). Measured q99 (160px,
+    r4 RMS bundle): 3.3e-6 / 8.6e-5 / 6.9e-6; max <= 1.9e-4. Bounds
+    >=20x, relu2_1 widest (5 near-threshold modes could flip under
+    platform jitter; the matched-mask gate below is its tight form).
     """
     import jax.numpy as jnp
 
@@ -91,9 +103,9 @@ def test_single_level_within_eigensolver_tolerance(setup):
 
     params, content, style = setup
     bounds = {
-        "relu1_1": (5e-4, 1e-3),
-        "relu2_1": (5e-4, 1e-3),
-        "relu3_1": (5e-4, 1e-3),
+        "relu1_1": (1e-4, 5e-4),
+        "relu2_1": (2e-3, 5e-3),
+        "relu3_1": (2e-4, 1e-3),
     }
     for lvl, (bq99, bmax) in bounds.items():
         cfg = cascade.CascadeConfig(
@@ -108,15 +120,17 @@ def test_single_level_within_eigensolver_tolerance(setup):
 
 
 def test_deep_levels_matched_mask_within_tolerance(setup):
-    """relu4_1/relu5_1 single-level, MATCHED top-k masks: tight gates.
+    """relu2_1..relu5_1 single-level, MATCHED top-k masks: tight gates.
 
     The rank-deficient levels' honest executable form (DESIGN §2b):
     the float64 keep-counts are forced into both the production f32
     pipeline (ops.wct trunc_topk) and the oracle (force_k), removing
     the f32-noise mask flips that make any value-threshold comparison
-    a knife edge. What remains is pure fp tolerance — measured
-    (160px, r3 bundle): relu4_1 q99 3.6e-5 max 6.7e-5 (k=399/512),
-    relu5_1 q99 2.3e-5 max 4.0e-5 (k=99/512). Bounds ~30×.
+    a knife edge. Round-4: the trained encoder makes relu2_1 (k~125/
+    128) and relu3_1 (k~199/256) rank-deficient too, so they join the
+    club. Measured q99 (160px, r4 RMS bundle): relu2_1 1.0e-4,
+    relu3_1 7.2e-6, relu4_1 4.0e-4 (k=380/512), relu5_1 3.4e-7
+    (k=99/512). Bounds >=5x with floor 1e-4.
     """
     import jax.numpy as jnp
 
@@ -128,7 +142,8 @@ def test_deep_levels_matched_mask_within_tolerance(setup):
     )
 
     params, content, style = setup
-    bounds = {"relu4_1": (1e-3, 2e-3), "relu5_1": (1e-3, 2e-3)}
+    bounds = {"relu2_1": (1e-3, 2e-3), "relu3_1": (1e-4, 1e-3),
+              "relu4_1": (2e-3, 5e-3), "relu5_1": (1e-4, 1e-3)}
     for lvl, (bq99, bmax) in bounds.items():
         fc64 = encode_np(params["encoder"], content.astype(np.float64), lvl)
         fs64 = encode_np(params["encoder"], style.astype(np.float64), lvl)
@@ -151,18 +166,19 @@ def test_throughput_config_single_level_deviation(setup):
     """bf16 + NS-fast + pack2 (the headline config) vs f32+eigh, per level.
 
     Bounds the throughput path's pixel deviation where it is
-    attributable (single level, no cross-level amplification). bf16
-    feature-map rounding dominates (≈8e-3 relative per conv), growing
-    with channel count. Measured q99 (160px, r3 bundle): 5.2e-3 /
-    1.2e-2 / 2.5e-2 / 8.5e-2 / 2.1e-1. Bounds 2.4–19×.
+    attributable (single level, no cross-level amplification). With
+    the r4 RMS bundle the solver-sensitivity term is gone and pure
+    bf16 feature-map rounding remains, FLAT across levels — measured
+    q99 (160px): 5.5e-3 / 8.3e-3 / 8.5e-3 / 8.2e-3 / 6.0e-3
+    (r3 reached 2.1e-1 at relu5_1). Uniform bound 6-9x over.
     """
     import jax.numpy as jnp
 
     from wct_tpu.models import cascade
 
     params, content, style = setup
-    bounds = {"relu1_1": 0.1, "relu2_1": 0.15, "relu3_1": 0.3,
-              "relu4_1": 0.4, "relu5_1": 0.5}
+    bounds = {"relu1_1": 0.05, "relu2_1": 0.05, "relu3_1": 0.05,
+              "relu4_1": 0.05, "relu5_1": 0.05}
 
     def run(c):
         cache = cascade.precompute_style(
@@ -204,11 +220,11 @@ def test_full_stylized_distribution_recorded(setup):
         params, jnp.asarray(content), jnp.asarray(style), 0.8, cfg))
     ref = cascade_np(params, content, style, 0.8, cfg.relu_targets)
     d = np.abs(ours.astype(np.float64) - ref.astype(np.float64))
-    # Measured (160px, r3 bundle): median 0.108, frac 0.733 — HIGHER
-    # than the 12-20 dB r2 bundle's: sharper decoders render the
-    # near-null eigendirection differences more visibly (DESIGN §2b).
-    assert np.median(d) < 0.25, f"median {np.median(d):.3f}"
-    assert (d > 0.05).mean() < 0.85, f"frac {(d > 0.05).mean():.3f}"
+    # Measured (160px, r4 RMS bundle): median 3.7e-3, q99 2.2e-2,
+    # frac>0.05 1e-4 — the clean spectrum makes even the UNMATCHED
+    # comparison nearly oracle-tight (r3: median 0.108, frac 0.733).
+    assert np.median(d) < 2e-2, f"median {np.median(d):.3f}"
+    assert (d > 0.05).mean() < 0.05, f"frac {(d > 0.05).mean():.3f}"
 
     # The HEADLINE config's full-cascade composition, same treatment —
     # catches a cross-level regression specific to NS-fast/pack2.
@@ -226,9 +242,11 @@ def test_full_stylized_distribution_recorded(setup):
         compute_dtype="bfloat16", method="newton_schulz_fast",
         pack2_junction=True))
     dev = np.abs(fast.astype(np.float64) - fid.astype(np.float64))
-    # Measured: median 0.220, frac 0.873.
-    assert np.median(dev) < 0.45, f"median {np.median(dev):.3f}"
-    assert (dev > 0.05).mean() < 0.95, f"frac {(dev > 0.05).mean():.3f}"
+    # Measured (r4 RMS bundle): throughput-vs-fidelity composed median
+    # 8.0e-2 (r3: 0.220) — bf16 rounding amplified by the cascade;
+    # the per-level gates above bound the attributable part.
+    assert np.median(dev) < 0.2, f"median {np.median(dev):.3f}"
+    assert (dev > 0.05).mean() < 0.9, f"frac {(dev > 0.05).mean():.3f}"
 
 
 def test_decoder_reconstruction_psnr_floors(setup):
@@ -248,14 +266,15 @@ def test_decoder_reconstruction_psnr_floors(setup):
     batch = np.stack([synthetic_image(rng, SIZE) for _ in range(4)])
     jbatch = jnp.asarray(batch)
 
-    # Measured (calibration, size 160): 52.0 / 30.7 / 27.4 / 20.4 /
-    # 14.7 dB. Floors ≈3 dB under.
+    # Measured (calibration, size 160, r4 RMS bundle): 51.1 / 35.8 /
+    # 33.0 / 29.8 / 24.4 dB (r3: 52.0/30.7/27.4/20.4/14.7). Floors
+    # ~3 dB under.
     floors = {
-        "relu1_1": 45.0,
-        "relu2_1": 27.0,
-        "relu3_1": 24.0,
-        "relu4_1": 17.0,
-        "relu5_1": 11.5,
+        "relu1_1": 48.0,
+        "relu2_1": 32.5,
+        "relu3_1": 30.0,
+        "relu4_1": 26.5,
+        "relu5_1": 21.0,
     }
     for target, floor in floors.items():
         assert target in params["decoders"], f"bundle lacks {target}"
@@ -279,10 +298,11 @@ def test_composed_cascade_matched_mask_tight(setup):
     single levels: at every level the float64 oracle's keep-counts are
     forced into both the production f32 path (ops.wct trunc_topk) and
     the oracle (force_k), so what remains is per-level fp tolerance ×
-    the cascade's amplification — measured median 1.3e-2 at 256px
-    (ckpt_r3w/matched_mask_256.json) and of the same order here at
-    160px. The gate sits ~3× over measured, replacing reliance on the
-    0.25 unmatched-median tripwire (which stays, as a tripwire).
+    the cascade's amplification — measured median 3.3e-3, q99 1.9e-2,
+    frac>0.05 = 0.0 (160px CPU, r4 RMS bundle; the r3 bundle measured
+    1.3e-2 at 256px). The gate sits ~3× over measured, replacing
+    reliance on the unmatched-median tripwire (which stays, tighter,
+    above).
     """
     import jax.numpy as jnp
 
@@ -313,4 +333,4 @@ def test_composed_cascade_matched_mask_tight(setup):
     ours = np.clip(np.asarray(img_j, np.float64), 0, 1)
     ref = np.clip(img_np, 0, 1)
     d = np.abs(ours - ref)
-    assert np.median(d) < 4e-2, f"median {np.median(d):.3e}"
+    assert np.median(d) < 1e-2, f"median {np.median(d):.3e}"

@@ -124,7 +124,8 @@ def normalize_encoder(
 
 
 def normalize_bundle_compensated(
-    bundle: dict, pool: np.ndarray, chunk: int = 8, floor: float = 1e-4
+    bundle: dict, pool: np.ndarray, chunk: int = 8, floor: float = 1e-4,
+    stat: str = "mean",
 ) -> tuple[dict, dict]:
     """FUNCTION-PRESERVING activation normalisation of a trained bundle.
 
@@ -149,6 +150,19 @@ def normalize_bundle_compensated(
     everywhere (the property the real vgg_normalised.t7 has, and what
     keeps WCT/AdaIN statistics and eps/trunc constants O(1)-scaled).
     Returns ``({'encoder':..., 'decoders':...}, report)``.
+
+    ``stat`` picks the per-channel statistic driven to 1:
+
+    - ``"mean"`` — the Gatys procedure proper (unit mean activation).
+    - ``"rms"`` — unit second moment (sqrt(E[y²])). Round-4 measured
+      motivation: joint training produced SPIKY channels (relu2_1
+      channel 86: mean ≈ 1 but σ ≈ 1600 → a single 2.6e6 covariance
+      eigenvalue, 65 eigenvalues within 10× of the 1e-5 WCT spectrum
+      mask, and cross-solver whitening deviations up to 0.29 q99).
+      Unit-RMS bounds every channel's variance at 1, restoring a clean
+      spectrum (measured evmax 5.5, ZERO near-threshold eigenvalues)
+      while remaining exactly function-preserving — only the basis WCT
+      statistics are computed in changes, which is the point.
     """
     from wct_tpu.models import decoder as dec_lib
 
@@ -179,8 +193,17 @@ def normalize_bundle_compensated(
         if kind == "conv_pre":  # preprocessing conv stays verbatim
             acts = ys
             continue
-        tot = sum(y.shape[0] * jnp.mean(y, axis=(0, 1, 2)) for y in ys)
-        mean = np.asarray(tot / len(pool), np.float32)
+        if stat == "rms":
+            tot = sum(
+                y.shape[0] * jnp.mean(jnp.square(y), axis=(0, 1, 2))
+                for y in ys
+            )
+            mean = np.sqrt(np.asarray(tot / len(pool), np.float32))
+        elif stat == "mean":
+            tot = sum(y.shape[0] * jnp.mean(y, axis=(0, 1, 2)) for y in ys)
+            mean = np.asarray(tot / len(pool), np.float32)
+        else:
+            raise ValueError(f"stat must be 'mean' or 'rms', got {stat!r}")
         scale = np.where(mean > floor, 1.0 / np.maximum(mean, floor), 1.0)
         s = jnp.asarray(scale, jnp.float32)
         inv = jnp.asarray(1.0 / scale, jnp.float32)
