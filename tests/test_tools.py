@@ -347,3 +347,61 @@ class TestNormalizeEncoder:
                 continue
             live = np.abs(m[m > 1e-2] - 1.0)
             assert np.quantile(live, 0.99) < 1e-2, (name, live.max())
+
+    def test_rms_mode_preserves_function_and_bounds_variance(self, rng):
+        """Round-4 §4e: ``stat='rms'`` must (a) stay exactly function-
+        preserving like the mean mode, (b) drive per-channel SECOND
+        moments to 1, which (c) tames a deliberately spiky channel —
+        the measured failure mode of joint reconstruction training
+        (relu2_1 channel 86: mean ~1, sigma ~1600 -> one 2.6e6
+        covariance eigenvalue wrecking the WCT spectrum mask)."""
+        import jax
+        import jax.numpy as jnp
+
+        from wct_tpu.models import cascade, decoder as dec_lib, vgg
+        from wct_tpu.tools.normalize_encoder import (
+            normalize_bundle_compensated,
+        )
+
+        params = cascade.init_params(jax.random.PRNGKey(7))
+        # Inject the pathology: one conv2_1 output channel scaled 500x
+        # (scale is invisible to reconstruction loss, so training can
+        # and did produce this).
+        w = np.asarray(params["encoder"]["conv2_1"]["w"]).copy()
+        b = np.asarray(params["encoder"]["conv2_1"]["b"]).copy()
+        w[..., 3] *= 500.0
+        b[3] *= 500.0
+        params["encoder"]["conv2_1"]["w"] = jnp.asarray(w)
+        params["encoder"]["conv2_1"]["b"] = jnp.asarray(b)
+
+        pool = rng.random((6, 32, 32, 3)).astype(np.float32)
+        norm, report = normalize_bundle_compensated(
+            params, pool, chunk=4, stat="rms"
+        )
+
+        # (a) function-preserving vs the SPIKY input bundle
+        x = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+        for t in vgg.RELU_TARGETS:
+            a = np.asarray(dec_lib.decode(
+                params["decoders"][t], vgg.encode(params["encoder"], x, t), t
+            ))
+            bb = np.asarray(dec_lib.decode(
+                norm["decoders"][t], vgg.encode(norm["encoder"], x, t), t
+            ))
+            scale = max(1.0, np.abs(a).max())
+            assert np.abs(a - bb).max() < 1e-4 * scale, (
+                t, np.abs(a - bb).max(), scale
+            )
+
+        # (b)+(c) unit second moment at every relu target; the spiky
+        # channel no longer dominates (pre-norm its second moment is
+        # ~250000x its neighbours')
+        for t in ("relu2_1", "relu3_1"):
+            y = np.asarray(vgg.encode(norm["encoder"], jnp.asarray(pool), t))
+            m2 = np.mean(np.square(y), axis=(0, 1, 2))
+            live = m2[m2 > 1e-4]
+            assert np.abs(live - 1.0).max() < 0.1, (t, live.min(), live.max())
+
+        # invalid stat rejected loudly
+        with pytest.raises(ValueError):
+            normalize_bundle_compensated(params, pool, chunk=4, stat="max")
