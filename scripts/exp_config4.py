@@ -41,30 +41,32 @@ import numpy as np  # noqa: E402
 log = lambda *a: print(*a, flush=True)
 
 
+from wct_tpu.utils.profiling import device_sync  # noqa: E402
+
+
 def timed(fn, *args, n=6, warmup=2):
-    """Median ms per call, synced via 1-element readback each call."""
+    """Median ms per call, device_sync'd (ONE-element readback — a
+    full ``np.asarray(out)`` D2H rides the ~27 MB/s tunnel and adds
+    ~40 ms/MB, swamping the op being measured)."""
     for _ in range(warmup):
-        out = fn(*args)
-        _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+        device_sync(fn(*args))
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        out = fn(*args)
-        _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+        device_sync(fn(*args))
         ts.append(time.perf_counter() - t0)
     return 1e3 * float(np.median(ts))
 
 
 def pipelined_ms(fn, batches, rounds=3):
-    """ms/call amortized: enqueue all, sync once (hides tunnel RTT)."""
-    out = fn(batches[0])
-    _ = float(np.asarray(out).ravel()[0])
+    """ms/call amortized: enqueue all, one-element sync once."""
+    device_sync(fn(batches[0]))
     best = float("inf")
     for _ in range(rounds):
         t0 = time.perf_counter()
         for b in batches:
             out = fn(b)
-        _ = float(np.asarray(out).ravel()[0])
+        device_sync(out)
         best = min(best, (time.perf_counter() - t0) / len(batches))
     return 1e3 * best
 
@@ -106,6 +108,8 @@ def main(argv=None) -> int:
             ("pack2", {"pack2_junction": True}),
             ("pack2_tail_only", {"pack2_junction": True,
                                  "pack2_tail_only": True}),
+            ("pack2_junction_only", {"pack2_junction": True,
+                                     "pack2_junction_only": True}),
         ):
             try:
                 cfg = cascade.CascadeConfig(**ckw, **kw)

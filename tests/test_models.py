@@ -622,6 +622,43 @@ class TestPack2Junction:
         with pytest.raises(ValueError, match="pack2_tail_only"):
             cascade.CascadeConfig(pack2_tail_only=True)
 
+    def test_pack2_junction_only_matches_unpacked(self, params, imgs):
+        """pack2_junction_only (round-4, the INVERSE scope measured to
+        be the right split at 1024px): junctions pack, the relu1_1
+        tail runs unpacked — output must match the plain cascade, and
+        the config must refuse the scope without pack2 or combined
+        with tail_only."""
+        import pytest
+
+        content, style = imgs
+        # rel_trunc: the flip-free spectrum mask (keep s > R*s_max,
+        # measured bit-identical across solvers/retilings) — without
+        # it this cross-tiling comparison sits on the 1e-5 value-mask
+        # knife edge and flips on a handful of pixels for SOME seeds
+        # (DESIGN 2b; observed: this very test at seed 16).
+        cfg = cascade.CascadeConfig(
+            relu_targets=("relu3_1", "relu2_1", "relu1_1"),
+            pack2_junction=True, pack2_junction_only=True, rel_trunc=1e-3,
+        )
+        cfg_off = cascade.CascadeConfig(
+            relu_targets=("relu3_1", "relu2_1", "relu1_1"), rel_trunc=1e-3,
+        )
+        cache = cascade.precompute_style(
+            params["encoder"], jnp.asarray(style), cfg
+        )
+        rng = np.random.default_rng(16)
+        c = jnp.asarray(rng.random((2,) + content.shape[1:]), jnp.float32)
+        on = cascade.stylize(params, c, cache, 0.7, cfg)
+        off = cascade.stylize(params, c, cache, 0.7, cfg_off)
+        assert float(jnp.max(jnp.abs(on - off))) < 2e-2
+        with pytest.raises(ValueError, match="pack2_junction_only"):
+            cascade.CascadeConfig(pack2_junction_only=True)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            cascade.CascadeConfig(
+                pack2_junction=True, pack2_junction_only=True,
+                pack2_tail_only=True,
+            )
+
     def test_packed_tail_adain_mode(self, params, imgs):
         import dataclasses
 

@@ -149,6 +149,16 @@ class CascadeConfig:
     # win (no 64→128 lane-padding copy on the [N, 64] reshape) scales
     # WITH pixels. Requires pack2_junction=True.
     pack2_tail_only: bool = False
+    # The INVERSE scope (round 4): pack the level junctions, keep the
+    # relu1_1 tail unpacked. Measured motivation (scripts/
+    # exp_config4.py at batch-8 1024px): in ISOLATION the packed
+    # junction wins at this size (its pack/unpack concats are
+    # half-res) while the packed tail LOSES (its pack copies are
+    # full-res) — the docstring hypothesis above had it backwards at
+    # high resolution; whole-pipeline pack2's −24% there is the tail's
+    # loss swamping the junction's win. Requires pack2_junction=True;
+    # mutually exclusive with pack2_tail_only.
+    pack2_junction_only: bool = False
 
     def __post_init__(self):
         from wct_tpu.models import vgg  # local: avoid import cycle
@@ -233,6 +243,17 @@ class CascadeConfig:
             raise ValueError(
                 "pack2_tail_only scopes pack2_junction and requires it "
                 "to be enabled"
+            )
+        if self.pack2_junction_only and not self.pack2_junction:
+            raise ValueError(
+                "pack2_junction_only scopes pack2_junction and requires "
+                "it to be enabled"
+            )
+        if self.pack2_junction_only and self.pack2_tail_only:
+            raise ValueError(
+                "pack2_junction_only and pack2_tail_only are mutually "
+                "exclusive scopes (each restricts pack2 to the OTHER "
+                "segment)"
             )
 
     def ns_iters_for(self, level: str) -> int | None:
@@ -435,7 +456,9 @@ def stylize_fn(
     # [B/2, ..., 128] packed pair — no 64→128 lane-padding copies.
     # Grouped WCT keeps the unpacked path (block-diag-of-block-diag is
     # not worth the plumbing).
-    pack_tail_ok = pack2_all and cfg.wct_groups == 1
+    pack_tail_ok = (
+        pack2_all and cfg.wct_groups == 1 and not cfg.pack2_junction_only
+    )
     state_kind, state_val = "img", img
     for _ in range(cfg.passes):
         for li, level in enumerate(cfg.relu_targets):
