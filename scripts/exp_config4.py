@@ -110,6 +110,12 @@ def main(argv=None) -> int:
                                  "pack2_tail_only": True}),
             ("pack2_junction_only", {"pack2_junction": True,
                                      "pack2_junction_only": True}),
+            # Ring-corrected reflect convs (no materialized pad copy):
+            # the pad copy's HBM traffic scales with pixels, so this is
+            # the resolution-scoped lever pack2 wasn't.
+            ("ring", {"ring_conv": True}),
+            ("ring+pack2_tail", {"ring_conv": True, "pack2_junction": True,
+                                 "pack2_tail_only": True}),
         ):
             try:
                 cfg = cascade.CascadeConfig(**ckw, **kw)

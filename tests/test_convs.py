@@ -55,6 +55,31 @@ def test_upsample_nearest2(rng):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_conv2d_reflect_ring_matches_padded(rng):
+    """Ring-corrected reflect conv == materialized-pad reflect conv.
+
+    Covers 3×3 (the VGG/decoder case), 5×5 incl. the H == 2p minimum,
+    non-square spatial dims, and the 1×1 passthrough. Exactness (not
+    allclose) is the contract on CPU: the interior contraction is the
+    same taps with the same kernel, and the border strips recompute the
+    same reflect values.
+    """
+    for shape, k in [
+        ((2, 8, 8, 5), 3),
+        ((1, 6, 10, 3), 3),
+        ((2, 5, 5, 3), 5),
+        ((1, 4, 4, 3), 5),   # H == 2p edge case
+        ((2, 7, 7, 3), 1),   # 1×1 passthrough
+        ((1, 2, 2, 3), 3),   # H == 2p for k=3
+    ]:
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, k, shape[-1], 6)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((6,)), jnp.float32)
+        got = np.asarray(convs.conv2d_reflect_ring(x, w, b))
+        ref = np.asarray(convs.conv2d_reflect(x, w, b))
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
 def test_conv2d_reflect_perimage_matches_loop(rng):
     """batch_group_count conv == per-image conv2d_reflect loop."""
     import jax

@@ -738,3 +738,52 @@ class TestNsIters:
         )
         with pytest.raises(SystemExit):
             _parse_ns_iters("abc")
+
+
+class TestRingConv:
+    """ring_conv=True ≡ the default padded-reflect cascade (same math)."""
+
+    def test_ring_matches_padded_full_cascade(self, params, imgs):
+        import dataclasses
+
+        content, style = imgs
+        cfg = cascade.CascadeConfig()  # full 5-level
+        cfg_ring = dataclasses.replace(cfg, ring_conv=True)
+        cache = cascade.precompute_style(
+            params["encoder"], jnp.asarray(style), cfg
+        )
+        cache_ring = cascade.precompute_style(
+            params["encoder"], jnp.asarray(style), cfg_ring
+        )
+        c = jnp.asarray(content)
+        base = cascade.stylize(params, c, cache, 0.7, cfg)
+        ring = cascade.stylize(params, c, cache_ring, 0.7, cfg_ring)
+        # Same taps, same reflect values; tolerance only for XLA
+        # fusion-order fp differences amplified by the random decoders.
+        assert float(jnp.max(jnp.abs(base - ring))) < 2e-2
+
+    def test_ring_non_multiple_size(self, params):
+        """Ring path handles the pre-pad to the pool multiple (odd
+        sizes exercise the strip splicing at non-16-multiple shapes)."""
+        rng = np.random.default_rng(3)
+        c = jnp.asarray(rng.random((1, 37, 45, 3), np.float32))
+        s = jnp.asarray(rng.random((32, 32, 3), np.float32))
+        cfg = cascade.CascadeConfig(
+            relu_targets=("relu2_1", "relu1_1"), ring_conv=True
+        )
+        cache = cascade.precompute_style(params["encoder"], s, cfg)
+        out = cascade.stylize(params, c, cache, 0.7, cfg)
+        assert out.shape == c.shape
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_ring_cli_flag(self):
+        import argparse
+
+        from wct_tpu.cli import common
+
+        p = argparse.ArgumentParser()
+        common.add_model_flags(p)
+        args = p.parse_args(["--ring-conv"])
+        assert common.config_from_args(args).ring_conv is True
+        args = p.parse_args([])
+        assert common.config_from_args(args).ring_conv is False

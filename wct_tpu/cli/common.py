@@ -149,6 +149,15 @@ def add_model_flags(p: argparse.ArgumentParser) -> None:
         "TPU v5e (XLA lowers batch_group_count convs ~4x slower than "
         "shared-weight convs), so no preset enables it",
     )
+    p.add_argument(
+        "--ring-conv",
+        action="store_true",
+        help="pad-copy-free reflect convs: the bulk of every conv runs "
+        "zero-pad SAME (no materialized [H+2, W+2] reflect copy in "
+        "HBM) with exact reflect borders spliced in from thin strips. "
+        "Same math; targets high resolutions where the pad copy's HBM "
+        "traffic dominates (e.g. batch-8 1024px)",
+    )
 
 
 def _parse_ns_iters(spec):
@@ -212,6 +221,7 @@ def config_from_args(args: argparse.Namespace) -> cascade.CascadeConfig:
         ns_iters=_parse_ns_iters(getattr(args, "ns_iters", None)),
         fold_transform=bool(getattr(args, "fold", None)),
         pack2_junction=preset_pack2,
+        ring_conv=bool(getattr(args, "ring_conv", False)),
     )
 
 

@@ -159,6 +159,17 @@ class CascadeConfig:
     # loss swamping the junction's win. Requires pack2_junction=True;
     # mutually exclusive with pack2_tail_only.
     pack2_junction_only: bool = False
+    # Ring-corrected reflect convs (round 4, VERDICT r3 item 3): run
+    # every encoder/decoder conv as a zero-pad SAME conv (padding fused
+    # into the conv HLO — the [B, H+2, W+2, C] reflect-padded copy never
+    # exists in HBM) and splice in exact reflect borders recomputed from
+    # thin strips (ops/convs.py::conv2d_reflect_ring). Bitwise-equal
+    # math on CPU (tests/test_convs.py); on TPU the interior is the same
+    # contraction, border strips are exact reflect values. The pad copy
+    # scales with pixels, so this targets the high-resolution traffic-
+    # bound tier (BASELINE config 4); pack2/junction-fused segments keep
+    # their own conv calls and are unaffected.
+    ring_conv: bool = False
 
     def __post_init__(self):
         from wct_tpu.models import vgg  # local: avoid import cycle
@@ -319,7 +330,7 @@ def precompute_style(
     """
     feats = vgg.encode_multi(
         encoder_params, style_img[None].astype(cfg.dtype), cfg.relu_targets,
-        precision=cfg.lax_precision,
+        precision=cfg.lax_precision, ring=cfg.ring_conv,
     )
     cache: StyleCache = {}
     for level in cfg.relu_targets:
@@ -476,7 +487,7 @@ def stylize_fn(
                         state_val,
                         enc["conv0"]["w"], enc["conv0"]["b"],
                         enc["conv1_1"]["w"], enc["conv1_1"]["b"],
-                        precision=cfg.lax_precision,
+                        precision=cfg.lax_precision, ring=cfg.ring_conv,
                     )
                 else:
                     e1p = state_val
@@ -489,7 +500,7 @@ def stylize_fn(
                     method=cfg.method, soft_trunc=cfg.soft_trunc,
                     ns_iters=cfg.ns_iters_for(level),
                     rel_trunc=cfg.rel_trunc,
-                    precision=cfg.lax_precision,
+                    precision=cfg.lax_precision, ring=cfg.ring_conv,
                 )
                 if cfg.clip_between_levels:
                     out = jnp.clip(out, 0.0, 1.0)
@@ -509,7 +520,8 @@ def stylize_fn(
                         from wct_tpu.ops import pack2
 
                         p1 = pack2.head_pack2(
-                            *head_args, precision=cfg.lax_precision
+                            *head_args, precision=cfg.lax_precision,
+                            ring=cfg.ring_conv,
                         )
                     else:
                         from wct_tpu.ops import junction_pallas
@@ -517,17 +529,17 @@ def stylize_fn(
                         p1 = junction_pallas.encoder_head(*head_args)
                     feats = vgg.encode_from_pool1(
                         params["encoder"], p1, level,
-                        precision=cfg.lax_precision,
+                        precision=cfg.lax_precision, ring=cfg.ring_conv,
                     )
                 else:
                     feats = vgg.encode(
                         params["encoder"], state_val, level,
-                        precision=cfg.lax_precision,
+                        precision=cfg.lax_precision, ring=cfg.ring_conv,
                     )
             elif state_kind == "pooled":
                 feats = vgg.encode_from_pool1(
                     params["encoder"], state_val, level,
-                    precision=cfg.lax_precision,
+                    precision=cfg.lax_precision, ring=cfg.ring_conv,
                 )
             elif state_kind == "e1p":  # packed relu1_1 features, tail
                 from wct_tpu.ops import pack2  # handler not applicable
@@ -632,7 +644,8 @@ def stylize_fn(
                 dec_p = params["decoders"][level]
                 enc = params["encoder"]
                 d = dec_lib.decode_partial(
-                    dec_p, transformed, level, precision=cfg.lax_precision
+                    dec_p, transformed, level, precision=cfg.lax_precision,
+                    ring=cfg.ring_conv,
                 )
                 deep = nxt != "relu1_1"
                 j_args = (
@@ -656,7 +669,7 @@ def stylize_fn(
                     out = pack2.junction_pack2(
                         *j_args, deep=deep, clip=cfg.clip_between_levels,
                         unpack_out=not keep_packed,
-                        precision=cfg.lax_precision,
+                        precision=cfg.lax_precision, ring=cfg.ring_conv,
                     )
                     state_kind = (
                         "pooled" if deep else ("e1p" if keep_packed else "e1")
@@ -672,7 +685,7 @@ def stylize_fn(
             else:
                 out = dec_lib.decode(
                     params["decoders"][level], transformed, level,
-                    precision=cfg.lax_precision,
+                    precision=cfg.lax_precision, ring=cfg.ring_conv,
                 )
                 if cfg.clip_between_levels:
                     out = jnp.clip(out, 0.0, 1.0)

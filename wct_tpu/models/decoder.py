@@ -22,6 +22,7 @@ from wct_tpu.models import vgg
 from wct_tpu.ops.convs import (
     conv2d_reflect,
     conv2d_reflect_perimage,
+    conv2d_reflect_ring,
     upsample_nearest2,
 )
 
@@ -64,14 +65,18 @@ def init_decoder_params(
 
 
 def decode(
-    params: dict, f: jax.Array, target: str, precision=None
+    params: dict, f: jax.Array, target: str, precision=None, ring: bool = False
 ) -> jax.Array:
     """Decode features ``[B, h, w, C]`` at ``target`` back to ``[B, H, W, 3]``.
 
     Output is raw (unclipped) RGB in ≈[0, 1]; callers clip
-    (reference clips in stylize.py before save).
+    (reference clips in stylize.py before save). ``ring`` selects the
+    pad-copy-free reflect conv (convs.conv2d_reflect_ring).
     """
-    return _decode(params, f, decoder_layers(target), start=0, precision=precision)
+    return _decode(
+        params, f, decoder_layers(target), start=0, precision=precision,
+        ring=ring,
+    )
 
 
 def decode_folded(
@@ -142,13 +147,14 @@ def has_standard_tail(target: str) -> bool:
 
 
 def decode_partial(
-    params: dict, f: jax.Array, target: str, precision=None
+    params: dict, f: jax.Array, target: str, precision=None, ring: bool = False
 ) -> jax.Array:
     """Run the decoder UP TO (excluding) its final [upsample, conv,
     conv] tail; the fused junction kernel finishes the job. Every conv
     here gets a ReLU (none is the final linear conv)."""
     layers = decoder_layers(target)
     assert has_standard_tail(target), target
+    conv = conv2d_reflect_ring if ring else conv2d_reflect
     x = f
     for spec in layers[:-3]:
         if spec[0] == "upsample":
@@ -156,7 +162,7 @@ def decode_partial(
             continue
         _, name, *_ = spec
         p = params[name]
-        x = jax.nn.relu(conv2d_reflect(x, p["w"], p["b"], precision=precision))
+        x = jax.nn.relu(conv(x, p["w"], p["b"], precision=precision))
     return x
 
 
@@ -172,8 +178,10 @@ def tail_weights(params: dict, target: str) -> tuple:
 
 
 def _decode(
-    params: dict, x: jax.Array, layers: tuple, start: int, precision=None
+    params: dict, x: jax.Array, layers: tuple, start: int, precision=None,
+    ring: bool = False,
 ) -> jax.Array:
+    conv = conv2d_reflect_ring if ring else conv2d_reflect
     last = len(layers) - 1
     for i in range(start, len(layers)):
         spec = layers[i]
@@ -182,7 +190,7 @@ def _decode(
             continue
         _, name, *_ = spec
         p = params[name]
-        x = conv2d_reflect(x, p["w"], p["b"], precision=precision)
+        x = conv(x, p["w"], p["b"], precision=precision)
         if i != last:
             x = jax.nn.relu(x)
     return x

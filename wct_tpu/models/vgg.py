@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from wct_tpu.ops.convs import conv2d_reflect, maxpool2
+from wct_tpu.ops.convs import conv2d_reflect, conv2d_reflect_ring, maxpool2
 
 # (kind, name, in_c, out_c, ksize); order = data flow. relu targets are
 # the activations AFTER the correspondingly named conv's ReLU.
@@ -111,10 +111,12 @@ def init_encoder_params(
 
 
 def encode(
-    params: dict, x: jax.Array, target: str, precision=None
+    params: dict, x: jax.Array, target: str, precision=None, ring: bool = False
 ) -> jax.Array:
     """Encode images ``[B, H, W, 3]`` (RGB in [0,1]) to ``target`` features."""
-    return encode_multi(params, x, (target,), precision=precision)[target]
+    return encode_multi(params, x, (target,), precision=precision, ring=ring)[
+        target
+    ]
 
 
 _POOL1_IDX = next(
@@ -123,7 +125,7 @@ _POOL1_IDX = next(
 
 
 def encode_from_pool1(
-    params: dict, x: jax.Array, target: str, precision=None
+    params: dict, x: jax.Array, target: str, precision=None, ring: bool = False
 ) -> jax.Array:
     """Resume encoding from the post-pool1 state (``x [B, H/2, W/2, 64]``).
 
@@ -134,26 +136,30 @@ def encode_from_pool1(
     idx = _TARGET_TO_IDX[target]
     if idx <= _POOL1_IDX:
         raise ValueError(f"{target} is before pool1; nothing to resume")
+    conv = conv2d_reflect_ring if ring else conv2d_reflect
     for spec in ENCODER_LAYERS[_POOL1_IDX + 1 : idx + 1]:
         if spec[0] == "pool":
             x = maxpool2(x)
             continue
         _, name, *_ = spec
         p = params[name]
-        x = jax.nn.relu(conv2d_reflect(x, p["w"], p["b"], precision=precision))
+        x = jax.nn.relu(conv(x, p["w"], p["b"], precision=precision))
     return x
 
 
 def encode_multi(
-    params: dict, x: jax.Array, targets: tuple[str, ...], precision=None
+    params: dict, x: jax.Array, targets: tuple[str, ...], precision=None,
+    ring: bool = False,
 ) -> dict[str, jax.Array]:
     """One trunk pass, returning every requested relu target's features.
 
     Used to encode the style image at all cascade levels in a single
-    sweep (the persistent style cache of BASELINE config 5).
+    sweep (the persistent style cache of BASELINE config 5). ``ring``
+    selects the pad-copy-free reflect conv (convs.conv2d_reflect_ring).
     """
     deepest = max(_TARGET_TO_IDX[t] for t in targets)
     want = {_TARGET_TO_IDX[t]: t for t in targets}
+    conv = conv2d_reflect_ring if ring else conv2d_reflect
     out: dict[str, jax.Array] = {}
     for i, spec in enumerate(ENCODER_LAYERS[: deepest + 1]):
         kind = spec[0]
@@ -162,7 +168,7 @@ def encode_multi(
             continue
         _, name, *_ = spec
         p = params[name]
-        x = conv2d_reflect(x, p["w"], p["b"], precision=precision)
+        x = conv(x, p["w"], p["b"], precision=precision)
         if kind == "conv":  # conv0 (conv_pre) is linear
             x = jax.nn.relu(x)
         if i in want:

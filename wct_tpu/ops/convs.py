@@ -63,6 +63,70 @@ def conv2d_reflect(
     return out + b.astype(out.dtype)
 
 
+def conv2d_reflect_ring(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+    precision: jax.lax.Precision | None = None,
+) -> jax.Array:
+    """Reflect conv WITHOUT materializing the padded copy.
+
+    Same math as ``conv2d_reflect`` (reference ``Conv2DReflect``), but
+    the bulk runs as a zero-pad SAME conv — padding fused into the conv
+    HLO, so the [B, H+2p, W+2p, C] reflect-padded tensor (a full
+    HBM round trip that scales with pixels; measured ~26 ms/conv at
+    batch-8 1024px 64ch where the conv itself is traffic-bound) never
+    exists. Only the p-px border sees the padding, and those rows/cols
+    are recomputed EXACTLY from thin strips with true reflect semantics
+    and spliced in with in-place dynamic-update-slices:
+
+    - interior: identical contraction (same taps, same order) as the
+      padded conv — bitwise-equal output elements;
+    - border: strip convs over ``O(p·(H+W))`` pixels — exact reflect
+      values, negligible work.
+
+    Valid for any odd kernel with ``H, W >= 2p`` (VGG/decoders: 3×3,
+    p=1). 1×1 kernels skip padding entirely and take the plain path.
+    """
+    kh, kw = w.shape[0], w.shape[1]
+    assert kh == kw, "square kernels only"
+    p = (kh - 1) // 2
+    if p == 0:
+        return conv2d_reflect(x, w, b, precision)
+    wd = w.astype(x.dtype)
+    prec = precision or jax.lax.Precision.HIGHEST
+
+    def conv(t, pad):
+        return jax.lax.conv_general_dilated(
+            t, wd, (1, 1), pad, dimension_numbers=_DN, precision=prec
+        )
+
+    out = conv(x, "SAME")
+    H, W = x.shape[1], x.shape[2]
+    # Output rows [0, p) read input rows [-p, 2p): slice the first 2p
+    # rows, reflect-extend vertically (reflect of row -i is row i,
+    # inside the slice for i <= p), reflect-pad horizontally, VALID.
+    pad_h = ((0, 0), (0, 0), (p, p), (0, 0))
+    top = jnp.pad(x[:, : 2 * p], ((0, 0), (p, 0), (0, 0), (0, 0)), mode="reflect")
+    top = conv(jnp.pad(top, pad_h, mode="reflect"), "VALID")
+    bot = jnp.pad(x[:, -2 * p :], ((0, 0), (0, p), (0, 0), (0, 0)), mode="reflect")
+    bot = conv(jnp.pad(bot, pad_h, mode="reflect"), "VALID")
+    # Full-height side strips (vertical reflect included) own the
+    # corners; top/bottom strips compute the same exact values there.
+    pad_v = ((0, 0), (p, p), (0, 0), (0, 0))
+    left = jnp.pad(x[:, :, : 2 * p], ((0, 0), (0, 0), (p, 0), (0, 0)), mode="reflect")
+    left = conv(jnp.pad(left, pad_v, mode="reflect"), "VALID")
+    right = jnp.pad(x[:, :, -2 * p :], ((0, 0), (0, 0), (0, p), (0, 0)), mode="reflect")
+    right = conv(jnp.pad(right, pad_v, mode="reflect"), "VALID")
+    out = (
+        out.at[:, :p].set(top)
+        .at[:, H - p :].set(bot)
+        .at[:, :, :p].set(left)
+        .at[:, :, W - p :].set(right)
+    )
+    return out + b.astype(out.dtype)
+
+
 def conv2d_reflect_perimage(
     x: jax.Array,
     w: jax.Array,

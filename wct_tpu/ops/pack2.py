@@ -27,7 +27,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from wct_tpu.ops.convs import conv2d_reflect, maxpool2, upsample_nearest2
+from wct_tpu.ops.convs import (
+    conv2d_reflect,
+    conv2d_reflect_ring,
+    maxpool2,
+    upsample_nearest2,
+)
 from wct_tpu.ops.wct import DEFAULT_EPS, DEFAULT_TRUNC
 
 
@@ -64,6 +69,7 @@ def junction_pack2(
     clip: bool = False,
     unpack_out: bool = True,
     precision=None,
+    ring: bool = False,
 ) -> jax.Array:
     """The cascade junction segment on image-paired arrays.
 
@@ -76,28 +82,30 @@ def junction_pack2(
     packed layout has no 64→128 lane padding, so the tail's [N, C]
     reshape is free instead of a physical copy.
     """
+    conv = conv2d_reflect_ring if ring else conv2d_reflect
     dp = pack(d)
     u = upsample_nearest2(dp)
     m = jax.nn.relu(
-        conv2d_reflect(u, _blockdiag(dec_w1), _dup(dec_b1), precision=precision)
+        conv(u, _blockdiag(dec_w1), _dup(dec_b1), precision=precision)
     )
-    rgb = conv2d_reflect(m, _blockdiag(dec_w2), _dup(dec_b2), precision=precision)
+    rgb = conv(m, _blockdiag(dec_w2), _dup(dec_b2), precision=precision)
     if clip:
         rgb = jnp.clip(rgb, 0.0, 1.0)
-    x = conv2d_reflect(rgb, _blockdiag(enc_w0), _dup(enc_b0), precision=precision)
+    x = conv(rgb, _blockdiag(enc_w0), _dup(enc_b0), precision=precision)
     e1 = jax.nn.relu(
-        conv2d_reflect(x, _blockdiag(enc_w11), _dup(enc_b11), precision=precision)
+        conv(x, _blockdiag(enc_w11), _dup(enc_b11), precision=precision)
     )
     if not deep:
         return unpack(e1) if unpack_out else e1
     e2 = jax.nn.relu(
-        conv2d_reflect(e1, _blockdiag(enc_w12), _dup(enc_b12), precision=precision)
+        conv(e1, _blockdiag(enc_w12), _dup(enc_b12), precision=precision)
     )
     return unpack(maxpool2(e2))
 
 
 def head_pack2_shallow(
-    img: jax.Array, enc_w0, enc_b0, enc_w11, enc_b11, *, precision=None
+    img: jax.Array, enc_w0, enc_b0, enc_w11, enc_b11, *, precision=None,
+    ring: bool = False,
 ) -> jax.Array:
     """First encode up to relu1_1 on paired images, KEPT PACKED.
 
@@ -105,10 +113,11 @@ def head_pack2_shallow(
     ``tail_pack2`` (single-level relu1_1 cascades / cascades whose
     first level is relu1_1).
     """
+    conv = conv2d_reflect_ring if ring else conv2d_reflect
     x = pack(img)
-    x = conv2d_reflect(x, _blockdiag(enc_w0), _dup(enc_b0), precision=precision)
+    x = conv(x, _blockdiag(enc_w0), _dup(enc_b0), precision=precision)
     return jax.nn.relu(
-        conv2d_reflect(x, _blockdiag(enc_w11), _dup(enc_b11), precision=precision)
+        conv(x, _blockdiag(enc_w11), _dup(enc_b11), precision=precision)
     )
 
 
@@ -152,6 +161,7 @@ def tail_pack2(
     ns_iters: int | None = None,
     rel_trunc: float | None = None,
     precision=None,
+    ring: bool = False,
 ) -> jax.Array:
     """The relu1_1 level on PACKED features: WCT/AdaIN apply + final conv.
 
@@ -237,7 +247,9 @@ def tail_pack2(
         out = (out + bias[:, None, :]).astype(e1p.dtype)
 
     out = out.reshape(b2, h, w, c2)
-    rgb = conv2d_reflect(out, _blockdiag(dec_w), _dup(dec_b), precision=precision)
+    rgb = (conv2d_reflect_ring if ring else conv2d_reflect)(
+        out, _blockdiag(dec_w), _dup(dec_b), precision=precision
+    )
     return unpack(rgb)
 
 
@@ -246,14 +258,16 @@ def head_pack2(
     enc_w0, enc_b0, enc_w11, enc_b11, enc_w12, enc_b12,
     *,
     precision=None,
+    ring: bool = False,
 ) -> jax.Array:
     """First encode's 512-tier on paired images → post-pool1 state."""
+    conv = conv2d_reflect_ring if ring else conv2d_reflect
     x = pack(img)
-    x = conv2d_reflect(x, _blockdiag(enc_w0), _dup(enc_b0), precision=precision)
+    x = conv(x, _blockdiag(enc_w0), _dup(enc_b0), precision=precision)
     e1 = jax.nn.relu(
-        conv2d_reflect(x, _blockdiag(enc_w11), _dup(enc_b11), precision=precision)
+        conv(x, _blockdiag(enc_w11), _dup(enc_b11), precision=precision)
     )
     e2 = jax.nn.relu(
-        conv2d_reflect(e1, _blockdiag(enc_w12), _dup(enc_b12), precision=precision)
+        conv(e1, _blockdiag(enc_w12), _dup(enc_b12), precision=precision)
     )
     return unpack(maxpool2(e2))
