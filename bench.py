@@ -94,10 +94,20 @@ def main() -> None:
         alpha = jnp.float32(0.6)
         fps = 0.0
         fn = None
-        for pack2 in ((True, False) if dtype == "bfloat16" else (False,)):
+        # Attempt chain, fastest-known first: pack2 + composed conv0
+        # (the full throughput preset, measured 85.1 vs 81.0 fps at
+        # 512px batch-16 — DESIGN.md §3 round-4 ledger), then pack2
+        # alone, then the plain config.
+        variants = (
+            [(True, True), (True, False), (False, False)]
+            if dtype == "bfloat16"
+            else [(False, False)]
+        )
+        for pack2, compose0 in variants:
             try:
                 cfg = cascade.CascadeConfig(
                     compute_dtype=dtype, method=method, pack2_junction=pack2,
+                    compose_conv0=compose0,
                 )
                 cache = cascade.precompute_style(params["encoder"], style, cfg)
                 fn = lambda c: cascade.stylize(params, c, cache, alpha, cfg)
@@ -105,7 +115,8 @@ def main() -> None:
                 break
             except Exception as e:  # noqa: BLE001 — record what we can
                 fn = None  # don't latency-bench a half-built config
-                log(f"{dtype}/{method} pack2={pack2} failed: "
+                log(f"{dtype}/{method} pack2={pack2} compose0={compose0} "
+                    "failed: "
                     f"{str(e).splitlines()[0][:120]}")
         best = max(best, fps)
         line = (f"{dtype}/{method}: pipelined batch-{args.batch} "

@@ -145,6 +145,11 @@ def main() -> None:
             # WITH pixels.
             ("4_batch8_1024px_pack2_tail", dict(pack2_junction=True,
                                                 pack2_tail_only=True)),
+            # conv0 composed into conv1_1 (round 4): deletes the
+            # full-res 3-of-128-lane conv0 HLO from every encoder
+            # head — the one measured config-4 WIN (17.0 → 17.8 fps;
+            # DESIGN.md §3 round-4 ledger).
+            ("4_batch8_1024px_compose0", dict(compose_conv0=True)),
         ):
             try:
                 cfg_p = cascade.CascadeConfig(**vkw, **kw)

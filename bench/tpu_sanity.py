@@ -113,6 +113,12 @@ def main() -> int:
         ("bf16/NS-fast/pack2", cascade.CascadeConfig(
             compute_dtype="bfloat16", method="newton_schulz_fast",
             pack2_junction=True)),
+        # The round-4 headline adds compose_conv0 (conv0 folded into
+        # conv1_1 — weight composition is deterministic per trace, so
+        # the bitwise guarantee must survive it unchanged).
+        ("bf16/NS-fast/pack2/compose0", cascade.CascadeConfig(
+            compute_dtype="bfloat16", method="newton_schulz_fast",
+            pack2_junction=True, compose_conv0=True)),
     ):
         cache_b = cascade.precompute_style(
             params["encoder"], jnp.asarray(style), cfg_b

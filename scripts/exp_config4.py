@@ -116,6 +116,9 @@ def main(argv=None) -> int:
             ("ring", {"ring_conv": True}),
             ("ring+pack2_tail", {"ring_conv": True, "pack2_junction": True,
                                  "pack2_tail_only": True}),
+            # conv0 composed into conv1_1 (the measured per-op win:
+            # 57.2 → 52.3 ms per encoder head — DESIGN §3 r4 ledger).
+            ("compose0", {"compose_conv0": True}),
         ):
             try:
                 cfg = cascade.CascadeConfig(**ckw, **kw)

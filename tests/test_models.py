@@ -787,3 +787,84 @@ class TestRingConv:
         assert common.config_from_args(args).ring_conv is True
         args = p.parse_args([])
         assert common.config_from_args(args).ring_conv is False
+
+
+class TestComposeConv0:
+    """compose_conv0 folds the 1×1 preprocessing conv into conv1_1 —
+    identical math, conv0's HLO gone."""
+
+    def test_encode_multi_composed_matches(self, params, imgs):
+        content, _ = imgs
+        x = jnp.asarray(content)
+        base = vgg.encode_multi(params["encoder"], x, ("relu1_1", "relu3_1"))
+        comp = vgg.encode_multi(
+            params["encoder"], x, ("relu1_1", "relu3_1"), compose_pre=True
+        )
+        for t in ("relu1_1", "relu3_1"):
+            np.testing.assert_allclose(
+                np.asarray(comp[t]), np.asarray(base[t]), atol=2e-4, rtol=1e-4
+            )
+
+    def test_cascade_composed_matches(self, params, imgs):
+        import dataclasses
+
+        content, style = imgs
+        cfg = cascade.CascadeConfig(relu_targets=("relu3_1", "relu2_1", "relu1_1"))
+        cfg_c = dataclasses.replace(cfg, compose_conv0=True)
+        cache = cascade.precompute_style(params["encoder"], jnp.asarray(style), cfg)
+        cache_c = cascade.precompute_style(
+            params["encoder"], jnp.asarray(style), cfg_c
+        )
+        c = jnp.asarray(content)
+        base = cascade.stylize(params, c, cache, 0.7, cfg)
+        comp = cascade.stylize(params, c, cache_c, 0.7, cfg_c)
+        assert float(jnp.max(jnp.abs(base - comp))) < 2e-2
+
+    def test_cascade_composed_pack2_matches(self, params, imgs):
+        """compose through head_pack2/head_pack2_shallow/junction_pack2."""
+        import dataclasses
+
+        content, style = imgs
+        cfg = cascade.CascadeConfig(
+            relu_targets=("relu2_1", "relu1_1"), pack2_junction=True
+        )
+        cfg_c = dataclasses.replace(cfg, compose_conv0=True)
+        cache = cascade.precompute_style(params["encoder"], jnp.asarray(style), cfg)
+        c = jnp.concatenate([jnp.asarray(content)] * 2)  # even batch
+        base = cascade.stylize(params, c, cache, 0.7, cfg)
+        comp = cascade.stylize(params, c, cache, 0.7, cfg_c)
+        assert float(jnp.max(jnp.abs(base - comp))) < 2e-2
+
+    def test_compose_helper_exact(self, rng=None):
+        from wct_tpu.ops.convs import compose_1x1_into_conv, conv2d_reflect
+
+        r = np.random.default_rng(5)
+        x = jnp.asarray(r.standard_normal((2, 9, 9, 3)), jnp.float32)
+        w0 = jnp.asarray(r.standard_normal((1, 1, 3, 3)), jnp.float32)
+        b0 = jnp.asarray(r.standard_normal((3,)), jnp.float32)
+        w1 = jnp.asarray(r.standard_normal((3, 3, 3, 8)), jnp.float32)
+        b1 = jnp.asarray(r.standard_normal((8,)), jnp.float32)
+        ref = conv2d_reflect(conv2d_reflect(x, w0, b0), w1, b1)
+        wc, bc = compose_1x1_into_conv(w0, b0, w1, b1)
+        got = conv2d_reflect(x, wc, bc)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+    def test_rejects_fuse_junction(self):
+        with pytest.raises(ValueError, match="compose_conv0"):
+            cascade.CascadeConfig(compose_conv0=True, fuse_junction=True)
+
+    def test_cli_preset_and_override(self):
+        import argparse
+
+        from wct_tpu.cli import common
+
+        p = argparse.ArgumentParser()
+        common.add_model_flags(p)
+        a = p.parse_args(["--preset", "throughput"])
+        assert common.config_from_args(a).compose_conv0 is True
+        a = p.parse_args(["--preset", "throughput", "--no-compose-conv0"])
+        assert common.config_from_args(a).compose_conv0 is False
+        a = p.parse_args(["--compose-conv0"])
+        assert common.config_from_args(a).compose_conv0 is True
+        a = p.parse_args([])
+        assert common.config_from_args(a).compose_conv0 is False

@@ -150,6 +150,16 @@ def add_model_flags(p: argparse.ArgumentParser) -> None:
         "shared-weight convs), so no preset enables it",
     )
     p.add_argument(
+        "--compose-conv0",
+        action=argparse.BooleanOptionalAction,
+        default=None,
+        help="fold the encoder's linear 1x1 preprocessing conv0 into "
+        "conv1_1 so its full-resolution HLO never runs (identical "
+        "math; measured ~5 ms per encoder head at batch-8 1024px). "
+        "The throughput preset enables it; --no-compose-conv0 opts "
+        "out",
+    )
+    p.add_argument(
         "--ring-conv",
         action="store_true",
         help="pad-copy-free reflect convs: the bulk of every conv runs "
@@ -184,26 +194,30 @@ def _parse_ns_iters(spec):
     return tuple(pairs)
 
 
-# (dtype, method, fold, pack2)
+# (dtype, method, fold, pack2, compose_conv0)
 _PRESETS = {
-    "fidelity": ("float32", "eigh", False, False),
-    "balanced": ("float32", "auto", False, False),
-    "throughput": ("bfloat16", "newton_schulz_fast", False, True),
+    "fidelity": ("float32", "eigh", False, False, False),
+    "balanced": ("float32", "auto", False, False, False),
+    "throughput": ("bfloat16", "newton_schulz_fast", False, True, True),
 }
 
 
 def config_from_args(args: argparse.Namespace) -> cascade.CascadeConfig:
     preset_pack2 = False
+    preset_compose0 = False
     if getattr(args, "preset", None):
-        args.dtype, args.method, preset_fold, preset_pack2 = _PRESETS[
-            args.preset
-        ]
+        (args.dtype, args.method, preset_fold, preset_pack2,
+         preset_compose0) = _PRESETS[args.preset]
         if getattr(args, "fold", None) is None:
             args.fold = preset_fold
         # An explicit --fold wins over the preset (per the --preset help
         # text): pack2 and fold rewrite the same decoder-tail segment,
         # so the preset's pack2 yields to the user's fold.
         preset_pack2 = preset_pack2 and not bool(getattr(args, "fold", None))
+    # Explicit --compose-conv0/--no-compose-conv0 wins over the preset.
+    compose0 = getattr(args, "compose_conv0", None)
+    if compose0 is None:
+        compose0 = preset_compose0
     return cascade.CascadeConfig(
         relu_targets=tuple(args.relu_targets),
         transform="adain" if args.adain else "wct",
@@ -222,6 +236,7 @@ def config_from_args(args: argparse.Namespace) -> cascade.CascadeConfig:
         fold_transform=bool(getattr(args, "fold", None)),
         pack2_junction=preset_pack2,
         ring_conv=bool(getattr(args, "ring_conv", False)),
+        compose_conv0=compose0,
     )
 
 

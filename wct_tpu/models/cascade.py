@@ -170,6 +170,16 @@ class CascadeConfig:
     # bound tier (BASELINE config 4); pack2/junction-fused segments keep
     # their own conv calls and are unaffected.
     ring_conv: bool = False
+    # Fold the encoder's linear 1×1 preprocessing conv0 into conv1_1
+    # (ops/convs.py::compose_1x1_into_conv) so conv0's full-resolution
+    # HLO never runs — it is a 3-of-128-lane HBM round trip XLA only
+    # partially fuses (measured 57.2 → 52.3 ms for the conv0+conv1_1
+    # pair at batch-8 1024px; ~5 encoder heads per 5-level cascade).
+    # Identical math — both ops are linear and a per-pixel affine
+    # commutes with reflect padding (the decode_folded argument);
+    # fp rounding differs at weight-composition level. Incompatible
+    # with fuse_junction (the Pallas head hard-codes conv0).
+    compose_conv0: bool = False
 
     def __post_init__(self):
         from wct_tpu.models import vgg  # local: avoid import cycle
@@ -260,6 +270,11 @@ class CascadeConfig:
                 "pack2_junction_only scopes pack2_junction and requires "
                 "it to be enabled"
             )
+        if self.compose_conv0 and self.fuse_junction:
+            raise ValueError(
+                "compose_conv0 is incompatible with fuse_junction (the "
+                "Pallas encoder head hard-codes the separate conv0)"
+            )
         if self.pack2_junction_only and self.pack2_tail_only:
             raise ValueError(
                 "pack2_junction_only and pack2_tail_only are mutually "
@@ -331,6 +346,7 @@ def precompute_style(
     feats = vgg.encode_multi(
         encoder_params, style_img[None].astype(cfg.dtype), cfg.relu_targets,
         precision=cfg.lax_precision, ring=cfg.ring_conv,
+        compose_pre=cfg.compose_conv0,
     )
     cache: StyleCache = {}
     for level in cfg.relu_targets:
@@ -488,6 +504,7 @@ def stylize_fn(
                         enc["conv0"]["w"], enc["conv0"]["b"],
                         enc["conv1_1"]["w"], enc["conv1_1"]["b"],
                         precision=cfg.lax_precision, ring=cfg.ring_conv,
+                        compose_pre=cfg.compose_conv0,
                     )
                 else:
                     e1p = state_val
@@ -522,6 +539,7 @@ def stylize_fn(
                         p1 = pack2.head_pack2(
                             *head_args, precision=cfg.lax_precision,
                             ring=cfg.ring_conv,
+                            compose_pre=cfg.compose_conv0,
                         )
                     else:
                         from wct_tpu.ops import junction_pallas
@@ -535,6 +553,7 @@ def stylize_fn(
                     feats = vgg.encode(
                         params["encoder"], state_val, level,
                         precision=cfg.lax_precision, ring=cfg.ring_conv,
+                        compose_pre=cfg.compose_conv0,
                     )
             elif state_kind == "pooled":
                 feats = vgg.encode_from_pool1(
@@ -670,6 +689,7 @@ def stylize_fn(
                         *j_args, deep=deep, clip=cfg.clip_between_levels,
                         unpack_out=not keep_packed,
                         precision=cfg.lax_precision, ring=cfg.ring_conv,
+                        compose_pre=cfg.compose_conv0,
                     )
                     state_kind = (
                         "pooled" if deep else ("e1p" if keep_packed else "e1")

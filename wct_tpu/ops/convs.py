@@ -166,6 +166,33 @@ def conv2d_reflect_perimage(
     return jnp.transpose(out, (2, 0, 1, 3))
 
 
+def compose_1x1_into_conv(
+    w0: jax.Array, b0: jax.Array, w: jax.Array, b: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Fold a preceding linear 1×1 conv into the following conv.
+
+    ``conv(w,b)(conv1x1(w0,b0)(x)) == conv(w',b')(x)`` with
+    ``w'[ky,kx] = W0 · w[ky,kx]`` and ``b' = b + b0 · Σ_taps w`` — the
+    same commutation as decoder.fold_affine_into_conv (a per-pixel
+    affine commutes with reflect padding), but with SHARED weights.
+
+    Used for the encoder's preprocessing conv0 (CascadeConfig
+    ``compose_conv0``): its separate HLO is a full-resolution
+    3-of-128-lane HBM round trip that XLA only partially fuses —
+    measured 57.2 → 52.3 ms for conv0+conv1_1 at batch-8 1024px
+    (DESIGN.md §3 round-4 ledger). Composition runs in float32
+    (weights are small; the conv casts to the activation dtype).
+    """
+    assert w0.shape[0] == w0.shape[1] == 1, "first conv must be 1×1"
+    m = w0[0, 0].astype(jnp.float32)
+    w32 = w.astype(jnp.float32)
+    wc = jnp.einsum("ic,yxco->yxio", m, w32)
+    bc = b.astype(jnp.float32) + jnp.einsum(
+        "c,yxco->o", b0.astype(jnp.float32), w32
+    )
+    return wc, bc
+
+
 def maxpool2(x: jax.Array) -> jax.Array:
     """2×2/stride-2 max pool (reference SpatialMaxPooling → MaxPooling2D)."""
     return jax.lax.reduce_window(

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from wct_tpu.ops.convs import (
+    compose_1x1_into_conv,
     conv2d_reflect,
     conv2d_reflect_ring,
     maxpool2,
@@ -70,6 +71,7 @@ def junction_pack2(
     unpack_out: bool = True,
     precision=None,
     ring: bool = False,
+    compose_pre: bool = False,
 ) -> jax.Array:
     """The cascade junction segment on image-paired arrays.
 
@@ -83,6 +85,12 @@ def junction_pack2(
     reshape is free instead of a physical copy.
     """
     conv = conv2d_reflect_ring if ring else conv2d_reflect
+    if compose_pre:
+        # conv0 and conv1_1 are adjacent linear ops (any clip sits
+        # BEFORE conv0); fold conv0 away, composing BEFORE block-diag.
+        enc_w11, enc_b11 = compose_1x1_into_conv(
+            enc_w0, enc_b0, enc_w11, enc_b11
+        )
     dp = pack(d)
     u = upsample_nearest2(dp)
     m = jax.nn.relu(
@@ -91,7 +99,9 @@ def junction_pack2(
     rgb = conv(m, _blockdiag(dec_w2), _dup(dec_b2), precision=precision)
     if clip:
         rgb = jnp.clip(rgb, 0.0, 1.0)
-    x = conv(rgb, _blockdiag(enc_w0), _dup(enc_b0), precision=precision)
+    x = rgb if compose_pre else conv(
+        rgb, _blockdiag(enc_w0), _dup(enc_b0), precision=precision
+    )
     e1 = jax.nn.relu(
         conv(x, _blockdiag(enc_w11), _dup(enc_b11), precision=precision)
     )
@@ -105,7 +115,7 @@ def junction_pack2(
 
 def head_pack2_shallow(
     img: jax.Array, enc_w0, enc_b0, enc_w11, enc_b11, *, precision=None,
-    ring: bool = False,
+    ring: bool = False, compose_pre: bool = False,
 ) -> jax.Array:
     """First encode up to relu1_1 on paired images, KEPT PACKED.
 
@@ -114,8 +124,13 @@ def head_pack2_shallow(
     first level is relu1_1).
     """
     conv = conv2d_reflect_ring if ring else conv2d_reflect
+    if compose_pre:
+        enc_w11, enc_b11 = compose_1x1_into_conv(
+            enc_w0, enc_b0, enc_w11, enc_b11
+        )
     x = pack(img)
-    x = conv(x, _blockdiag(enc_w0), _dup(enc_b0), precision=precision)
+    if not compose_pre:
+        x = conv(x, _blockdiag(enc_w0), _dup(enc_b0), precision=precision)
     return jax.nn.relu(
         conv(x, _blockdiag(enc_w11), _dup(enc_b11), precision=precision)
     )
@@ -259,11 +274,17 @@ def head_pack2(
     *,
     precision=None,
     ring: bool = False,
+    compose_pre: bool = False,
 ) -> jax.Array:
     """First encode's 512-tier on paired images → post-pool1 state."""
     conv = conv2d_reflect_ring if ring else conv2d_reflect
+    if compose_pre:
+        enc_w11, enc_b11 = compose_1x1_into_conv(
+            enc_w0, enc_b0, enc_w11, enc_b11
+        )
     x = pack(img)
-    x = conv(x, _blockdiag(enc_w0), _dup(enc_b0), precision=precision)
+    if not compose_pre:
+        x = conv(x, _blockdiag(enc_w0), _dup(enc_b0), precision=precision)
     e1 = jax.nn.relu(
         conv(x, _blockdiag(enc_w11), _dup(enc_b11), precision=precision)
     )
