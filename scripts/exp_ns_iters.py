@@ -91,13 +91,19 @@ def main(argv=None) -> int:
             med, q99 = float(np.median(d)), float(np.quantile(d, 0.99))
             rows.append((it, med, q99))
             log(f"{t} iters={it:2d}  rel_median={med:.2e}  rel_q99={q99:.2e}")
-        ok = [it for it, med, _ in rows if med <= args.tol]
         # converged = within 1.3x of the best-achievable median (the
-        # bf16 floor), AND under --tol; else take the flat default
+        # bf16 floor); `conv` is never empty (the best row qualifies),
+        # so when best_med itself exceeds --tol the level cannot meet
+        # the tolerance at ANY iteration count — flag it loudly rather
+        # than silently picking.
         best_med = min(med for _, med, _ in rows)
         conv = [it for it, med, _ in rows
                 if med <= max(args.tol, 1.3 * best_med)]
-        pick[t] = min(conv) if conv else max(iters_list)
+        pick[t] = min(conv)
+        if best_med > args.tol:
+            log(f"{t} WARNING: best achievable median {best_med:.2e} "
+                f"exceeds --tol {args.tol:.2e}; picking iters={pick[t]} "
+                f"anyway (bf16 floor for this level)")
         log(f"{t} -> pick {pick[t]} (best median {best_med:.2e})")
 
     tup = tuple((t, pick[t]) for t in vgg.RELU_TARGETS)

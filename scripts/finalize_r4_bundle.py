@@ -18,10 +18,13 @@ as the tiebreaker):
 3. FUNCTION-PRESERVING activation normalisation
    (tools/normalize_encoder.py::normalize_bundle_compensated) with a
    verification that every level's decode∘encode is unchanged to fp
-   roundoff — the shipped encoder keeps the Gatys unit-mean property
-   the real vgg_normalised.t7 has;
-4. save float16-storage bundle; run scripts/eval_bundle.py separately
-   for the full report.
+   roundoff — the default `--norm-stat rms` drives unit per-channel
+   RMS (unit second moment; chosen for its clean WCT spectrum, DESIGN
+   §4e). The Gatys unit-MEAN property the real vgg_normalised.t7 has
+   is available via `--norm-stat mean`;
+4. save float16-storage bundle (re-verifying the drift check on the
+   quantized-then-upcast tree, i.e. on what ships); run
+   scripts/eval_bundle.py separately for the full report.
 """
 
 from __future__ import annotations
@@ -166,6 +169,27 @@ def main(argv=None) -> int:
         return x
 
     normed = jax.tree.map(to_storage, jax.device_get(normed))
+
+    # re-verify the SHIPPED artifact: upcast the quantized tree back
+    # to f32 (what load_pytree will hand to compute) and re-run the
+    # decode∘encode drift check against the pre-normalisation
+    # function, so the guarantee covers f16 rounding, not just the
+    # save/load round trip.
+    shipped = jax.tree.map(
+        lambda x: np.asarray(x, np.float32), normed
+    )
+    worst_q = 0.0
+    for t in vgg.RELU_TARGETS:
+        a = np.asarray(dec_lib.decode(
+            decs[t], vgg.encode(enc, held_j[:2], t), t))
+        b = np.asarray(dec_lib.decode(
+            shipped["decoders"][t],
+            vgg.encode(shipped["encoder"], held_j[:2], t), t))
+        worst_q = max(worst_q, float(np.abs(a - b).max()))
+    print(f"f16-storage function-preservation: worst |Δ| = {worst_q:.2e}",
+          flush=True)
+    assert worst_q < 5e-3, "f16 storage quantization changed the function"
+
     checkpoint.save_pytree(args.out, normed)
     print(f"wrote {args.out}", flush=True)
     return 0

@@ -93,6 +93,11 @@ def conv2d_reflect_ring(
     p = (kh - 1) // 2
     if p == 0:
         return conv2d_reflect(x, w, b, precision)
+    if x.shape[1] < 2 * p or x.shape[2] < 2 * p:
+        # border strips need 2p rows/cols; plain reflect conv only
+        # needs p+1, so degrade gracefully for tiny deep-level maps
+        # instead of failing inside the .at[].set() splice.
+        return conv2d_reflect(x, w, b, precision)
     wd = w.astype(x.dtype)
     prec = precision or jax.lax.Precision.HIGHEST
 
