@@ -155,6 +155,58 @@ def main(argv=None) -> int:
     print(f"[gate2c composed-matched] median {np.median(dc):.2e} "
           f"q99 {np.quantile(dc, 0.99):.2e} frac>0.05 {(dc > 0.05).mean():.4f}")
 
+    # -- gate 4 (round-5): AdaIN full cascade vs oracle --
+    cfg_a = cascade.CascadeConfig(transform="adain")
+    ours_a = np.asarray(cascade.stylize_pair(
+        params, jnp.asarray(content), jnp.asarray(style), 0.8, cfg_a))
+    ref_a = cascade_np(params, content, style, 0.8, cfg_a.relu_targets,
+                       transform="adain")
+    da4 = np.abs(ours_a.astype(np.float64) - ref_a.astype(np.float64))
+    print(f"[gate4 adain]    median {np.median(da4):.3e}  "
+          f"q99 {np.quantile(da4, 0.99):.3e}  max {da4.max():.3e}")
+
+    # -- gate 5 (round-5): swap5 — matched-mask single level + cascade --
+    from wct_tpu.ops import style_swap as swap_ops
+    from wct_tpu.tools.oracle import wct_style_swap_np
+
+    lvl = "relu5_1"
+    fc64 = encode_np(params["encoder"], content.astype(np.float64), lvl)
+    fs64 = encode_np(params["encoder"], style.astype(np.float64), lvl)
+    k_c, k_s = wct_ranks_np(fc64, fs64)
+    fc32 = vgg.encode(params["encoder"], jnp.asarray(content)[None], lvl)[0]
+    fs32 = vgg.encode(params["encoder"], jnp.asarray(style)[None], lvl)[0]
+    w_c, mu_c = wct_ops.whitening_kernel(fc32, trunc_topk=k_c)
+    w_s, k_col, mu_s = wct_ops.whiten_color_kernels(fs32, trunc_topk=k_s)
+    h, w_, cch = fc32.shape
+    flat_c = fc32.reshape(h * w_, cch)
+    fc_white = ((flat_c - mu_c[None, :]) @ w_c).reshape(h, w_, cch)
+    hs, ws = fs32.shape[0], fs32.shape[1]
+    flat_s = fs32.reshape(hs * ws, cch)
+    fs_white = ((flat_s - mu_s[None, :]) @ w_s).reshape(hs, ws, cch)
+    swapped = swap_ops.style_swap(fc_white, fs_white, 0.6, 3, 1)
+    colored = swapped.reshape(h * w_, cch) @ k_col + mu_s[None, :]
+    f_sw = (0.8 * colored + 0.2 * flat_c).reshape(h, w_, cch)
+    ours_sw = np.clip(np.asarray(dec_lib.decode(
+        params["decoders"][lvl], f_sw[None], lvl)[0], np.float64), 0, 1)
+    ref_sw = np.clip(decode_np(
+        params["decoders"][lvl],
+        wct_style_swap_np(fc64, fs64, 0.8, 0.6, 3, 1, force_k=(k_c, k_s)),
+        lvl), 0, 1)
+    d5 = np.abs(ours_sw - ref_sw)
+    print(f"[gate5 swap5-matched] k_c={k_c} k_s={k_s} "
+          f"median {np.median(d5):.2e} q99 {np.quantile(d5, 0.99):.2e} "
+          f"max {d5.max():.2e}")
+
+    cfg_s = cascade.CascadeConfig(swap5=True)
+    ours_s5 = np.asarray(cascade.stylize_pair(
+        params, jnp.asarray(content), jnp.asarray(style), 0.8, cfg_s))
+    ref_s5 = cascade_np(params, content, style, 0.8, cfg_s.relu_targets,
+                        swap5=True)
+    ds5 = np.abs(ours_s5.astype(np.float64) - ref_s5.astype(np.float64))
+    print(f"[gate5 swap5-cascade] median {np.median(ds5):.3e}  "
+          f"q99 {np.quantile(ds5, 0.99):.3e}  "
+          f"frac>0.05 {(ds5 > 0.05).mean():.4f}")
+
     # -- gate 3: per-level reconstruction PSNR (test's exact recipe) --
     rng3 = np.random.default_rng(424242)
     batch = np.stack([synthetic_image(rng3, size) for _ in range(4)])

@@ -289,6 +289,107 @@ def test_decoder_reconstruction_psnr_floors(setup):
         assert psnr >= floor, f"{target}: {psnr:.1f} dB < floor {floor}"
 
 
+def test_adain_cascade_matches_oracle(setup):
+    """Full 5-level AdaIN cascade vs float64 oracle (VERDICT r4 item 4).
+
+    AdaIN has no eigendecomposition — no mask flips, no solver
+    tolerance — so the trained-bundle comparison is tight: any cascade
+    plumbing regression on the `--adain` path fails loudly. Measured
+    (160px CPU, r4 RMS bundle): median 7.4e-7, q99 4.8e-6, max 2.3e-5.
+    Bounds ~20×.
+    """
+    import jax.numpy as jnp
+
+    from wct_tpu.models import cascade
+    from wct_tpu.tools.oracle import cascade_np
+
+    params, content, style = setup
+    cfg = cascade.CascadeConfig(transform="adain")
+    ours = np.asarray(cascade.stylize_pair(
+        params, jnp.asarray(content), jnp.asarray(style), 0.8, cfg))
+    ref = cascade_np(params, content, style, 0.8, cfg.relu_targets,
+                     transform="adain")
+    d = np.abs(ours.astype(np.float64) - ref.astype(np.float64))
+    assert np.quantile(d, 0.99) < 1e-4, f"q99 {np.quantile(d, 0.99):.2e}"
+    assert d.max() < 5e-4, f"max {d.max():.2e}"
+
+
+def test_swap5_matched_mask_within_tolerance(setup):
+    """relu5_1 style-swap under MATCHED masks vs the float64 oracle.
+
+    The tight executable gate for the swap path with trained weights
+    (VERDICT r4 item 4 / missing #3): force the float64 keep-counts
+    into both whitenings (ops trunc_topk / oracle force_k) so what
+    remains is patch-argmax agreement + eigensolver tolerance. Measured
+    (160px CPU, r4 RMS bundle, k_c=k_s=99): median 4.6e-8, q99 2.3e-7,
+    max 4.7e-7 — the f32 op picks the SAME patches as float64 at this
+    seed. Bounds >=20x.
+    """
+    import jax.numpy as jnp
+
+    from wct_tpu.models import decoder as dec_lib
+    from wct_tpu.models import vgg
+    from wct_tpu.ops import style_swap as swap_ops
+    from wct_tpu.ops import wct as wct_ops
+    from wct_tpu.tools.oracle import (
+        decode_np, encode_np, wct_ranks_np, wct_style_swap_np,
+    )
+
+    params, content, style = setup
+    lvl = "relu5_1"
+    fc64 = encode_np(params["encoder"], content.astype(np.float64), lvl)
+    fs64 = encode_np(params["encoder"], style.astype(np.float64), lvl)
+    k_c, k_s = wct_ranks_np(fc64, fs64)
+
+    fc32 = vgg.encode(params["encoder"], jnp.asarray(content)[None], lvl)[0]
+    fs32 = vgg.encode(params["encoder"], jnp.asarray(style)[None], lvl)[0]
+    w_c, mu_c = wct_ops.whitening_kernel(fc32, trunc_topk=k_c)
+    w_s, k_col, mu_s = wct_ops.whiten_color_kernels(fs32, trunc_topk=k_s)
+    h, w, c = fc32.shape
+    flat_c = fc32.reshape(h * w, c)
+    fc_white = ((flat_c - mu_c[None, :]) @ w_c).reshape(h, w, c)
+    hs, ws = fs32.shape[0], fs32.shape[1]
+    flat_s = fs32.reshape(hs * ws, c)
+    fs_white = ((flat_s - mu_s[None, :]) @ w_s).reshape(hs, ws, c)
+    swapped = swap_ops.style_swap(fc_white, fs_white, 0.6, 3, 1)
+    colored = swapped.reshape(h * w, c) @ k_col + mu_s[None, :]
+    f_sw = (0.8 * colored + 0.2 * flat_c).reshape(h, w, c)
+    ours = np.clip(np.asarray(dec_lib.decode(
+        params["decoders"][lvl], f_sw[None], lvl)[0], np.float64), 0, 1)
+
+    f64 = wct_style_swap_np(fc64, fs64, 0.8, 0.6, 3, 1, force_k=(k_c, k_s))
+    ref = np.clip(decode_np(params["decoders"][lvl], f64, lvl), 0, 1)
+    d = np.abs(ours - ref)
+    assert np.quantile(d, 0.99) < 1e-5, f"q99 {np.quantile(d, 0.99):.2e}"
+    assert d.max() < 5e-5, f"max {d.max():.2e}"
+
+
+def test_swap5_cascade_distribution(setup):
+    """Full cascade with --swap5 vs oracle: calibrated tripwire.
+
+    Exercises the CASCADE plumbing of the swap path (precompute_style's
+    fs_white cache, _transform_level's swap branch) with trained
+    weights — a transform-mode regression in cascade.py now fails.
+    Unmatched masks (production value-threshold trunc), so the bound is
+    the distribution form. Measured (160px CPU, r4 RMS bundle): median
+    1.9e-3, q99 1.1e-2, frac>0.05 1e-4.
+    """
+    import jax.numpy as jnp
+
+    from wct_tpu.models import cascade
+    from wct_tpu.tools.oracle import cascade_np
+
+    params, content, style = setup
+    cfg = cascade.CascadeConfig(swap5=True)
+    ours = np.asarray(cascade.stylize_pair(
+        params, jnp.asarray(content), jnp.asarray(style), 0.8, cfg))
+    ref = cascade_np(params, content, style, 0.8, cfg.relu_targets,
+                     swap5=True)
+    d = np.abs(ours.astype(np.float64) - ref.astype(np.float64))
+    assert np.median(d) < 1e-2, f"median {np.median(d):.3e}"
+    assert (d > 0.05).mean() < 0.05, f"frac {(d > 0.05).mean():.4f}"
+
+
 def test_composed_cascade_matched_mask_tight(setup):
     """FULL 5-level cascade under MATCHED masks: the tight composed gate.
 

@@ -338,6 +338,7 @@ def whiten_color_kernels(
     method: Method = "eigh",
     soft_trunc: bool = False,
     rel_trunc: float | None = None,
+    trunc_topk: int | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """(whitening kernel, coloring kernel, mean) from ONE decomposition.
 
@@ -349,10 +350,12 @@ def whiten_color_kernels(
     coupled iteration). ``soft_trunc`` selects the same continuous
     eigenvalue filter as ``_sym_pow`` (cascade plumbs
     ``cfg.soft_trunc`` here so ``--swap5 --soft-trunc`` compose);
-    ``rel_trunc`` the relative threshold (``--swap5 --rel-trunc``).
+    ``rel_trunc`` the relative threshold (``--swap5 --rel-trunc``);
+    ``trunc_topk`` the deterministic top-k index mask (eigh only —
+    the matched-mask gate mechanism, DESIGN §2b).
     """
     f_flat = _flatten_hwc(f)
-    _check_trunc_modes(soft_trunc, None, rel_trunc)
+    _check_trunc_modes(soft_trunc, trunc_topk, rel_trunc)
     cov, mean = _gram(f_flat)
     cov = cov + eps * jnp.eye(cov.shape[0], dtype=cov.dtype)
     if method == "auto":
@@ -360,6 +363,10 @@ def whiten_color_kernels(
     if rel_trunc is not None and method != "eigh":
         raise ValueError(
             f"rel_trunc requires the eigh path; method resolved to {method!r}"
+        )
+    if trunc_topk is not None and method != "eigh":
+        raise ValueError(
+            f"trunc_topk requires the eigh path; method resolved to {method!r}"
         )
     if method == "eigh":
         s, u = jnp.linalg.eigh(cov)
@@ -369,7 +376,11 @@ def whiten_color_kernels(
             inv_d = filt * jnp.maximum(s_pos, trunc * 1e-3) ** -0.5
             sq_d = filt * s_pos**0.5
         else:
-            keep = s > (rel_trunc * s[-1] if rel_trunc is not None else trunc)
+            if trunc_topk is not None:
+                c = s.shape[0]
+                keep = jnp.arange(c) >= c - trunc_topk
+            else:
+                keep = s > (rel_trunc * s[-1] if rel_trunc is not None else trunc)
             safe = jnp.where(keep, s, 1.0)
             inv_d = jnp.where(keep, jnp.abs(safe) ** -0.5, 0.0)
             sq_d = jnp.where(keep, jnp.abs(safe) ** 0.5, 0.0)

@@ -80,6 +80,32 @@ def decode_np(dec_params: dict, f: np.ndarray, target: str) -> np.ndarray:
     return x
 
 
+def _sym_pow_np(
+    flat: np.ndarray,
+    power: float,
+    eps: float = 1e-8,
+    trunc: float = 1e-5,
+    k: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(cov^power via eigh with truncation, mean) of ``flat [N, C]``.
+
+    ``k``: top-k index truncation instead of the 1e-5 value threshold —
+    the oracle counterpart of ``ops.wct``'s ``trunc_topk``
+    (matched-mask gates; mechanism in DESIGN §2b).
+    """
+    c = flat.shape[-1]
+    mu = flat.mean(0)
+    centered = flat - mu
+    cov = centered.T @ centered / (flat.shape[0] - 1) + eps * np.eye(c)
+    s, u = np.linalg.eigh(cov)
+    if k is not None:
+        keep = np.arange(c) >= c - k
+        s_pow = np.where(keep, np.sign(s) * np.abs(s) ** power, 0.0)
+    else:
+        s_pow = np.where(s > trunc, np.sign(s) * np.abs(s) ** power, 0.0)
+    return (u * s_pow) @ u.T, mu
+
+
 def wct_np(
     fc: np.ndarray,
     fs: np.ndarray,
@@ -98,21 +124,9 @@ def wct_np(
     fc_flat = fc.reshape(-1, c)
     fs_flat = fs.reshape(-1, c)
 
-    def sym_pow(flat, power, k=None):
-        mu = flat.mean(0)
-        centered = flat - mu
-        cov = centered.T @ centered / (flat.shape[0] - 1) + eps * np.eye(c)
-        s, u = np.linalg.eigh(cov)
-        if k is not None:
-            keep = np.arange(c) >= c - k
-            s_pow = np.where(keep, np.sign(s) * np.abs(s) ** power, 0.0)
-        else:
-            s_pow = np.where(s > trunc, np.sign(s) * np.abs(s) ** power, 0.0)
-        return (u * s_pow) @ u.T, mu
-
     kc, ks = force_k if force_k is not None else (None, None)
-    w_c, mu_c = sym_pow(fc_flat, -0.5, kc)
-    k_s, mu_s = sym_pow(fs_flat, +0.5, ks)
+    w_c, mu_c = _sym_pow_np(fc_flat, -0.5, eps, trunc, kc)
+    k_s, mu_s = _sym_pow_np(fs_flat, +0.5, eps, trunc, ks)
     colored = (fc_flat - mu_c) @ w_c @ k_s + mu_s
     return (alpha * colored + (1 - alpha) * fc_flat).reshape(fc.shape)
 
@@ -135,6 +149,105 @@ def wct_ranks_np(
     return rank(fc.reshape(-1, fc.shape[-1])), rank(fs.reshape(-1, fs.shape[-1]))
 
 
+def extract_patches_np(f: np.ndarray, patch_size: int, stride: int) -> np.ndarray:
+    """Patches of ``f [H, W, C]`` → filter bank ``[ps, ps, C, P]``.
+
+    Same row-major patch ordering as ``ops.style_swap.extract_patches``
+    so argmax indices are directly comparable across implementations.
+    """
+    h, w, c = f.shape
+    ps = patch_size
+    hp = (h - ps) // stride + 1
+    wp = (w - ps) // stride + 1
+    out = np.zeros((ps, ps, c, hp * wp), np.float64)
+    for i in range(hp):
+        for j in range(wp):
+            out[:, :, :, i * wp + j] = f[
+                i * stride : i * stride + ps, j * stride : j * stride + ps, :
+            ]
+    return out
+
+
+def style_swap_np(
+    fc_white: np.ndarray,
+    fs_white: np.ndarray,
+    ss_alpha: float = 0.6,
+    patch_size: int = 3,
+    stride: int = 1,
+) -> np.ndarray:
+    """Float64 patch swap — the executable spec for ``ops.style_swap``.
+
+    Mirrors reference ``wct_style_swap``'s inner swap (ops.py:~145–230,
+    reconstructed; Chen & Schmidt 2016): L2-normalized style patches as
+    match filters, hard argmax per content location, overlap-normalized
+    reconstruction from the UN-normalized patches, blend by
+    ``ss_alpha``. Direct loops — correctness over speed.
+    """
+    h, w, c = fc_white.shape
+    ps = patch_size
+    fc64 = fc_white.astype(np.float64)
+    filters = extract_patches_np(fs_white.astype(np.float64), ps, stride)
+    p = filters.shape[-1]
+    norms = np.sqrt((filters**2).sum(axis=(0, 1, 2)))
+    filters_n = filters / np.maximum(norms, 1e-8)[None, None, None, :]
+
+    hp = (h - ps) // stride + 1
+    wp = (w - ps) // stride + 1
+    best = np.zeros((hp, wp), np.int64)
+    for i in range(hp):
+        for j in range(wp):
+            patch = fc64[i * stride : i * stride + ps, j * stride : j * stride + ps]
+            best[i, j] = np.tensordot(
+                patch, filters_n, axes=([0, 1, 2], [0, 1, 2])
+            ).argmax()
+
+    hr, wr = (hp - 1) * stride + ps, (wp - 1) * stride + ps
+    recon = np.zeros((hr, wr, c), np.float64)
+    counts = np.zeros((hr, wr, 1), np.float64)
+    for i in range(hp):
+        for j in range(wp):
+            sl = np.s_[i * stride : i * stride + ps, j * stride : j * stride + ps]
+            recon[sl] += filters[:, :, :, best[i, j]]
+            counts[sl] += 1.0
+    recon = recon / np.maximum(counts, 1.0)
+    if (hr, wr) != (h, w):
+        recon = np.pad(recon, ((0, h - hr), (0, w - wr), (0, 0)), mode="edge")
+    return ss_alpha * recon + (1.0 - ss_alpha) * fc64
+
+
+def wct_style_swap_np(
+    fc: np.ndarray,
+    fs: np.ndarray,
+    alpha: float = 1.0,
+    ss_alpha: float = 0.6,
+    patch_size: int = 3,
+    stride: int = 1,
+    eps: float = 1e-8,
+    trunc: float = 1e-5,
+    force_k: tuple[int, int] | None = None,
+) -> np.ndarray:
+    """Full whiten → patch swap → color → alpha-blend in float64.
+
+    The oracle for ``ops.style_swap.wct_style_swap`` / the cascade's
+    swap5 level (reference ops.py:~145, reconstructed). ``force_k``
+    matches the matched-mask gate mechanism (DESIGN §2b) for the
+    rank-deficient relu5_1 whitening.
+    """
+    c = fc.shape[-1]
+    fc_flat = fc.reshape(-1, c).astype(np.float64)
+    fs_flat = fs.reshape(-1, c).astype(np.float64)
+    kc, ks = force_k if force_k is not None else (None, None)
+    w_c, mu_c = _sym_pow_np(fc_flat, -0.5, eps, trunc, kc)
+    w_s, mu_s = _sym_pow_np(fs_flat, -0.5, eps, trunc, ks)
+    k_s, _ = _sym_pow_np(fs_flat, +0.5, eps, trunc, ks)
+    fc_white = ((fc_flat - mu_c) @ w_c).reshape(fc.shape)
+    fs_white = ((fs_flat - mu_s) @ w_s).reshape(fs.shape)
+    swapped = style_swap_np(fc_white, fs_white, ss_alpha, patch_size, stride)
+    colored = swapped.reshape(-1, c) @ k_s + mu_s
+    out = alpha * colored + (1.0 - alpha) * fc_flat
+    return out.reshape(fc.shape)
+
+
 def adain_np(fc: np.ndarray, fs: np.ndarray, alpha: float, eps: float = 1e-5):
     c = fc.shape[-1]
     cf = fc.reshape(-1, c).astype(np.float64)
@@ -153,12 +266,26 @@ def cascade_np(
     alpha: float,
     targets: tuple[str, ...],
     transform: str = "wct",
+    swap5: bool = False,
+    ss_alpha: float = 0.6,
+    ss_patch_size: int = 3,
+    ss_stride: int = 1,
 ) -> np.ndarray:
-    """Full multi-level cascade; ONE clip before save (stylize.py:~150)."""
+    """Full multi-level cascade; ONE clip before save (stylize.py:~150).
+
+    ``swap5``: style-swap at relu5_1 instead of plain WCT — the
+    reference's ``--swap5`` composition (stylize.py:~100, ops.py:~145,
+    reconstructed).
+    """
     img = content.astype(np.float64)
     for t in targets:
         fc = encode_np(params["encoder"], img, t)
         fs = encode_np(params["encoder"], style, t)
-        f = (wct_np if transform == "wct" else adain_np)(fc, fs, alpha)
+        if swap5 and t == "relu5_1":
+            f = wct_style_swap_np(
+                fc, fs, alpha, ss_alpha, ss_patch_size, ss_stride
+            )
+        else:
+            f = (wct_np if transform == "wct" else adain_np)(fc, fs, alpha)
         img = decode_np(params["decoders"][t], f, t)
     return np.clip(img, 0.0, 1.0)
