@@ -1,28 +1,29 @@
 #!/usr/bin/env python
-"""Quantitative STYLIZATION quality: style (Gram) + content losses.
+"""Quantitative STYLIZATION quality under the FIXED round-5 protocol.
 
     python scripts/eval_style_quality.py weights/bundle.npz \
         [more_bundles.npz ...] [--evaluator PATH] [--size 256]
 
-Round-4 motivation: rounds 1-3 measured only RECONSTRUCTION PSNR (the
-trainer's objective). The reference's actual product is stylization,
-whose de-facto quality metrics (Li et al., arXiv:1705.08086 §4;
-reference stylize.py:~60 (reconstructed) has no metric at all) are
+Round-5 protocol (VERDICT r4 item 1; rationale DESIGN §4f). The
+primary metrics are EVALUATOR-ROBUST — no trained bundle can be
+favoured by construction:
 
-  style loss    L_s = Σ_l || G_l(out) - G_l(style) ||_F / || G_l(style) ||_F
-  content loss  L_c = || F_relu4_1(out) - F_relu4_1(content) ||_F
-                      / || F_relu4_1(content) ||_F
+- pixel-space texture statistics (wct_tpu/eval/texture.py): radial
+  FFT spectrum, color quantile EMD, multi-scale local contrast —
+  stylized output vs style image, no learned components;
+- Gram/mean-std distances under the FROZEN pinned-seed CReLU-
+  orthogonal evaluator (wct_tpu/eval/frozen.py), never trained;
+- anchors: each pair also scores the RAW CONTENT image against the
+  style under the same metrics — the number stylization must beat —
+  and alpha=0 outputs, which should stay near the content anchor.
 
-with G_l the channel Gram of level-l features. Both are reported
-RELATIVE (normalised by the target's norm) so they are comparable
-across encoders with different activation scales, plus an AdaIN-style
-mean/std statistic distance.
-
-Crucially the losses are measured under a FIXED EVALUATOR encoder
-(--evaluator, default: the first bundle) so that comparing two bundles
-— e.g. the round-3 random-encoder bundle vs the round-4 trained one —
-is not circular: each bundle stylizes with its OWN weights, but all
-outputs are scored by the same frozen feature extractor.
+The round-4 learned-evaluator Gram metrics (Li et al.,
+arXiv:1705.08086 §4 form: relative Gram/mean-std/content distances
+under --evaluator's encoder) are still computed and reported under
+"legacy_*" keys — they remain useful for CONTROLLED comparisons (same
+evaluator, two bundles) but are evaluator-dominated across rounds
+(measured: the r3-vs-r4 comparison inverts with the evaluator,
+ckpt_r4/style_quality_r4eval.json) and carry no quality claim alone.
 
 Pairs: real-photo content x {real, procedural} styles + procedural
 pairs; alphas 0.6 and 1.0. JSON report per bundle to --out.
@@ -116,7 +117,10 @@ def main(argv=None) -> int:
         b = np.asarray(b, np.float64)
         return float(np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12))
 
-    def score(out_img, c_feats, s_feats):
+    from wct_tpu.eval import frozen, texture
+
+    def score(out_img, c_feats, s_feats, style_img, frozen_style):
+        out_img = np.clip(out_img, 0, 1)
         o = jax.device_get(features(jnp.asarray(out_img)))
         gram = {t: rel(o[t]["gram"], s_feats[t]["gram"]) for t in targets}
         meanstd = {
@@ -124,12 +128,20 @@ def main(argv=None) -> int:
                       + rel(o[t]["std"], s_feats[t]["std"]))
             for t in targets
         }
-        return {
-            "style_gram_rel": float(np.mean(list(gram.values()))),
-            "style_gram_rel_per_level": gram,
-            "style_meanstd_rel": float(np.mean(list(meanstd.values()))),
-            "content_rel": rel(o["content_feat"], c_feats["content_feat"]),
+        row = {
+            # -- fixed protocol (evaluator-robust, cross-round) --
+            **{f"pixel_{k}": v
+               for k, v in texture.texture_distances(out_img, style_img).items()},
+            **frozen.gram_distance(out_img, frozen_style),
+            # -- legacy (learned evaluator; controlled comparisons only) --
+            "legacy_style_gram_rel": float(np.mean(list(gram.values()))),
+            "legacy_style_gram_rel_per_level": gram,
+            "legacy_style_meanstd_rel": float(np.mean(list(meanstd.values()))),
+            "legacy_content_rel": rel(
+                o["content_feat"], c_feats["content_feat"]
+            ),
         }
+        return row
 
     # ---- content/style pairs ----
     real = find_real_images(S)
@@ -149,9 +161,28 @@ def main(argv=None) -> int:
                jax.device_get(features(jnp.asarray(s))))
         for name, c, s in pairs
     }
+    frozen_styles = {name: frozen.gram_stats(s) for name, c, s in pairs}
+
+    _SUMMARY = ("pixel_spectrum", "pixel_color", "pixel_contrast",
+                "pixel_pixel_agg", "frozen_gram_rel", "frozen_meanstd_rel",
+                "legacy_style_gram_rel", "legacy_style_meanstd_rel",
+                "legacy_content_rel")
 
     report = {"size": S, "alphas": list(alphas),
-              "evaluator": args.evaluator or args.bundles[0], "bundles": {}}
+              "evaluator": args.evaluator or args.bundles[0],
+              "frozen_evaluator_fingerprint": frozen.FINGERPRINT,
+              "bundles": {}}
+    # The anchor every stylization must beat: the RAW CONTENT image
+    # scored against the style under the fixed metrics.
+    anchors = {}
+    for name, c, s in pairs:
+        c_feats, s_feats = pair_feats[name]
+        anchors[name] = score(c, c_feats, s_feats, s, frozen_styles[name])
+    report["content_anchor"] = anchors
+    report["content_anchor_mean"] = {
+        m: float(np.mean([anchors[n][m] for n in anchors])) for m in _SUMMARY
+    }
+
     for bpath in args.bundles:
         params = checkpoint.load_pytree(bpath)
         cfg = cascade.CascadeConfig()
@@ -166,23 +197,33 @@ def main(argv=None) -> int:
                     params, jnp.asarray(c)[None], cache, alpha, cfg
                 )[0])
                 rows[f"{name}_a{alpha:g}"] = score(
-                    np.clip(out, 0, 1), c_feats, s_feats
+                    out, c_feats, s_feats, s, frozen_styles[name]
                 )
         # summary: mean over pairs at each alpha
         for alpha in alphas:
             sel = [v for k, v in rows.items() if k.endswith(f"_a{alpha:g}")]
             rows[f"mean_a{alpha:g}"] = {
-                m: float(np.mean([r[m] for r in sel]))
-                for m in ("style_gram_rel", "style_meanstd_rel",
-                          "content_rel")
+                m: float(np.mean([r[m] for r in sel])) for m in _SUMMARY
             }
         report["bundles"][bpath] = rows
         for alpha in alphas:
             m = rows[f"mean_a{alpha:g}"]
-            print(f"{bpath}  alpha={alpha:g}  "
-                  f"style_gram_rel={m['style_gram_rel']:.4f}  "
-                  f"style_meanstd_rel={m['style_meanstd_rel']:.4f}  "
-                  f"content_rel={m['content_rel']:.4f}", flush=True)
+            a = report["content_anchor_mean"]
+            print(f"{bpath}  alpha={alpha:g}\n"
+                  f"  FIXED  pixel_agg={m['pixel_pixel_agg']:.4f} "
+                  f"(anchor {a['pixel_pixel_agg']:.4f})  "
+                  f"spectrum={m['pixel_spectrum']:.4f} "
+                  f"(a {a['pixel_spectrum']:.4f})  "
+                  f"color={m['pixel_color']:.4f} (a {a['pixel_color']:.4f})  "
+                  f"contrast={m['pixel_contrast']:.4f} "
+                  f"(a {a['pixel_contrast']:.4f})\n"
+                  f"  FROZEN gram={m['frozen_gram_rel']:.4f} "
+                  f"(anchor {a['frozen_gram_rel']:.4f})  "
+                  f"meanstd={m['frozen_meanstd_rel']:.4f} "
+                  f"(a {a['frozen_meanstd_rel']:.4f})\n"
+                  f"  legacy gram={m['legacy_style_gram_rel']:.4f}  "
+                  f"meanstd={m['legacy_style_meanstd_rel']:.4f}  "
+                  f"content={m['legacy_content_rel']:.4f}", flush=True)
 
     if args.out:
         Path(args.out).write_text(json.dumps(report, indent=1))
