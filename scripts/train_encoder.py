@@ -103,6 +103,25 @@ def main(argv=None) -> int:
     ap.add_argument("--freeze-encoder", action="store_true",
                     help="ablation: decoders-only on the same data "
                     "(isolates the encoder-training effect)")
+    ap.add_argument("--texture-weight", type=float, default=0.0,
+                    help="round-5 feature-quality term (VERDICT r4 item "
+                    "1): InfoNCE over per-level Gram vectors of two "
+                    "random crops per image — same image's crops are "
+                    "positives, other pool images negatives — so Gram "
+                    "statistics become texture-DISCRIMINATIVE, the "
+                    "perceptual-VGG property WCT actually uses, not "
+                    "merely invertible. 0 = off (round-4 behaviour)")
+    ap.add_argument("--texture-levels", default="relu2_1,relu3_1,relu4_1",
+                    help="levels whose Grams enter the texture loss")
+    ap.add_argument("--texture-crop", type=int, default=128)
+    ap.add_argument("--texture-tau", type=float, default=0.2,
+                    help="InfoNCE temperature on Gram cosine similarity")
+    ap.add_argument("--shallow-recover", action="store_true",
+                    help="round-5 relu1_1 recovery (VERDICT r4 item 5): "
+                    "train ONLY conv1_1/conv1_2 + the relu1_1 decoder; "
+                    "deeper levels' reconstruction terms stay in the "
+                    "loss (through the frozen deep trunk/decoders) so "
+                    "conv1 changes cannot give back the deep dB")
     ap.add_argument("--resume", default=None,
                     help="params npz to resume from (fresh Adam state)")
     ap.add_argument("--start-step", type=int, default=0,
@@ -188,19 +207,92 @@ def main(argv=None) -> int:
         return optax.adam(sched)
 
     enc_scale = 0.0 if args.freeze_encoder else args.enc_lr_scale
+    if args.shallow_recover:
+        # only conv1_1/conv1_2 + the relu1_1 decoder move; the deep
+        # trunk and deep decoders are hard-frozen (set_to_zero), not
+        # merely lr-damped — their reconstruction terms still appear in
+        # the loss as a CONSTRAINT on what conv1 may become.
+        labels = {
+            "encoder": {
+                name: ("enc" if name in ("conv1_1", "conv1_2") else "frozen")
+                for name in trainable["encoder"]
+            },
+            "decoders": {
+                t: ("dec" if t == "relu1_1" else "frozen") for t in targets
+            },
+        }
+    else:
+        labels = {"encoder": "enc", "decoders": "dec"}
     tx = optax.chain(
         optax.clip_by_global_norm(args.grad_clip)
         if args.grad_clip
         else optax.identity(),
         optax.multi_transform(
-            {"enc": adam_for(enc_scale), "dec": adam_for(1.0)},
-            {"encoder": "enc", "decoders": "dec"},
+            {"enc": adam_for(enc_scale), "dec": adam_for(1.0),
+             "frozen": optax.set_to_zero()},
+            labels,
         ),
     )
     opt_state = tx.init(trainable)
 
+    # ---- round-5 texture-discrimination term (VERDICT r4 item 1) ----
+    tex_levels = (
+        tuple(s.strip() for s in args.texture_levels.split(","))
+        if args.texture_weight > 0.0
+        else ()
+    )
+
+    def _gram_vec(f):
+        """[h, w, c] → unit-norm flattened Gram (the texture code)."""
+        hw = f.shape[0] * f.shape[1]
+        flat = f.reshape(hw, f.shape[2])
+        g = flat.T @ flat / hw
+        return (g / (jnp.linalg.norm(g) + 1e-8)).reshape(-1)
+
+    def _rand_crops(x, key):
+        """One random ``texture_crop`` crop per image: [B, cs, cs, 3]."""
+        b, hh, ww = x.shape[0], x.shape[1], x.shape[2]
+        cs = args.texture_crop
+        ky, kx = jax.random.split(key)
+        oy = jax.random.randint(ky, (b,), 0, hh - cs + 1)
+        ox = jax.random.randint(kx, (b,), 0, ww - cs + 1)
+        return jax.vmap(
+            lambda img, y, xo: jax.lax.dynamic_slice(
+                img, (y, xo, 0), (cs, cs, 3)
+            )
+        )(x, oy, ox)
+
+    def texture_loss(enc, x, key):
+        """Symmetric InfoNCE over per-level Gram vectors of two crops.
+
+        Crops of the SAME image are positives, other images in the
+        batch negatives: the encoder's Gram statistics must identify a
+        texture across locations while separating different textures —
+        the property the reference's ImageNet-VGG has that pure
+        invertibility training does not induce.
+        """
+        ka, kb = jax.random.split(key)
+        va, vb = _rand_crops(x, ka), _rand_crops(x, kb)
+        acts_a = vgg.encode_multi(enc, va, tex_levels)
+        acts_b = vgg.encode_multi(enc, vb, tex_levels)
+        b = x.shape[0]
+        lbl = jnp.arange(b)
+        loss = 0.0
+        acc = 0.0
+        for t in tex_levels:
+            ga = jax.vmap(_gram_vec)(acts_a[t])  # [B, D]
+            gb = jax.vmap(_gram_vec)(acts_b[t])
+            sim = ga @ gb.T / args.texture_tau  # cosine / τ
+            loss = loss + 0.5 * (
+                optax.softmax_cross_entropy_with_integer_labels(sim, lbl).mean()
+                + optax.softmax_cross_entropy_with_integer_labels(sim.T, lbl).mean()
+            )
+            acc = acc + (sim.argmax(1) == lbl).mean()
+        n = max(len(tex_levels), 1)
+        return loss / n, acc / n
+
     # ---- jitted train step ----
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, tkey):
         x = batch.astype(jnp.float32) / 255.0
         enc = {"conv0": conv0, **params["encoder"]}
         acts = vgg.encode_multi(enc, x, targets)
@@ -211,12 +303,17 @@ def main(argv=None) -> int:
             mse = jnp.mean((rec - x) ** 2)
             per[t] = mse
             total = total + wmap[t] * mse
+        if tex_levels:
+            tex, acc = texture_loss(enc, x, tkey)
+            per["tex_nce"] = tex
+            per["tex_acc"] = acc
+            total = total + args.texture_weight * tex
         return total, per
 
     @jax.jit
-    def train_step(params, opt_state, batch):
+    def train_step(params, opt_state, batch, tkey):
         (total, per), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch
+            params, batch, tkey
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -277,10 +374,11 @@ def main(argv=None) -> int:
     t0 = time.time()
     last = t0
     best_c = -1.0
+    tex_key = jax.random.PRNGKey(args.seed + 1)
     for i in range(args.start_step, args.start_step + args.steps):
         batch = sample(pool, key, jnp.int32(i))
         trainable, opt_state, total, per = train_step(
-            trainable, opt_state, batch
+            trainable, opt_state, batch, jax.random.fold_in(tex_key, i)
         )
         if (i + 1) % 100 == 0:
             tot = float(total)  # sync point

@@ -155,3 +155,49 @@ def test_conv_pallas_small_matches_xla(rng):
     ref = conv2d_reflect(x, w, b)
     got = conv2d_reflect_fused(x, w, b, relu=False, impl="pallas_small")
     assert jnp.array_equal(got, ref)
+
+
+def test_quantize_weight_int8_roundtrip(rng):
+    w = rng.standard_normal((3, 3, 8, 16)).astype(np.float32)
+    wq, scale = convs.quantize_weight_int8(jnp.asarray(w))
+    assert np.asarray(wq).dtype == np.int8
+    deq = np.asarray(wq, np.float32) * np.asarray(scale)[None, None, None, :]
+    # per-output-channel max maps to ±127 exactly; error ≤ scale/2
+    err = np.abs(deq - w)
+    assert (err <= np.asarray(scale)[None, None, None, :] * 0.5 + 1e-7).all()
+
+
+def test_conv2d_reflect_int8_close_to_f32(rng):
+    """int8 conv vs f32 conv: error bounded by the quantization model.
+
+    Per-tensor activation step sx=|x|max/127 and per-channel weight
+    step — the accumulated error over k²·ci taps stays well under the
+    bf16 fidelity envelope for well-scaled post-ReLU-like inputs.
+    """
+    x = np.abs(rng.standard_normal((2, 16, 16, 8))).astype(np.float32)
+    w = rng.standard_normal((3, 3, 8, 16)).astype(np.float32)
+    b = rng.standard_normal((16,)).astype(np.float32)
+    ref = np.asarray(
+        convs.conv2d_reflect(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b))
+    )
+    wq, ws = convs.quantize_weight_int8(jnp.asarray(w))
+    out = np.asarray(convs.conv2d_reflect_int8(
+        jnp.asarray(x), wq, ws, jnp.asarray(b)
+    ))
+    assert out.dtype == np.float32
+    denom = max(np.abs(ref).max(), 1e-6)
+    rel = np.abs(out - ref).max() / denom
+    assert rel < 0.02, f"relative error {rel:.4f}"
+
+
+def test_conv2d_reflect_int8_static_scale(rng):
+    x = np.abs(rng.standard_normal((1, 8, 8, 4))).astype(np.float32)
+    w = rng.standard_normal((3, 3, 4, 4)).astype(np.float32)
+    b = np.zeros((4,), np.float32)
+    wq, ws = convs.quantize_weight_int8(jnp.asarray(w))
+    dyn = np.asarray(convs.conv2d_reflect_int8(jnp.asarray(x), wq, ws, jnp.asarray(b)))
+    sta = np.asarray(convs.conv2d_reflect_int8(
+        jnp.asarray(x), wq, ws, jnp.asarray(b),
+        act_scale=float(np.abs(x).max() / 127.0),
+    ))
+    np.testing.assert_allclose(dyn, sta, atol=1e-5)

@@ -198,6 +198,64 @@ def compose_1x1_into_conv(
     return wc, bc
 
 
+def quantize_weight_int8(w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-output-channel symmetric int8 quantization of HWIO weights.
+
+    Returns ``(wq int8 [kh,kw,ci,co], scale f32 [co])`` with
+    ``wq * scale ≈ w``. Output-channel granularity keeps the scale
+    OUTSIDE the conv's contraction (ci and the taps share one scale),
+    so dequantization is a cheap per-channel multiply after the int32
+    accumulate.
+    """
+    scale = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0
+    scale = jnp.maximum(scale, 1e-12).astype(jnp.float32)
+    wq = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127)
+    return wq.astype(jnp.int8), scale
+
+
+def conv2d_reflect_int8(
+    x: jax.Array,
+    wq: jax.Array,
+    w_scale: jax.Array,
+    b: jax.Array,
+    act_scale: jax.Array | float | None = None,
+) -> jax.Array:
+    """Reflect conv with int8 weights AND activations (int8-MXU lever).
+
+    The round-5 config-4 experiment (VERDICT r4 item 2): TPU v5e's MXU
+    has double int8 throughput, and BASELINE config 4's 64-channel tier
+    is lane-starved compute time. Symmetric quantization: activations
+    per-TENSOR (dynamic max by default, or a static calibrated
+    ``act_scale``), weights per-OUTPUT-CHANNEL
+    (``quantize_weight_int8``); conv accumulates int32
+    (``preferred_element_type``), dequantizes with one fused
+    multiply. Error model: ~|x|_max/254 per activation vs bf16's
+    8-bit significand per VALUE — comparable where the dynamic range
+    within a tensor is modest (post-ReLU conv features), worse on
+    long-tailed tensors; gate like bf16's fidelity envelope.
+    """
+    kh = wq.shape[0]
+    x = pad_reflect(x, (kh - 1) // 2)
+    if act_scale is None:
+        sx = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
+    else:
+        sx = jnp.asarray(act_scale, jnp.float32)
+    sx = jnp.maximum(sx, 1e-12)
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / sx), -127, 127
+    ).astype(jnp.int8)
+    yq = jax.lax.conv_general_dilated(
+        xq,
+        wq,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    )
+    y = yq.astype(jnp.float32) * (sx * w_scale)[None, None, None, :]
+    return (y + b.astype(jnp.float32)).astype(x.dtype)
+
+
 def maxpool2(x: jax.Array) -> jax.Array:
     """2×2/stride-2 max pool (reference SpatialMaxPooling → MaxPooling2D)."""
     return jax.lax.reduce_window(
