@@ -65,7 +65,9 @@ def measure_peaks():
     mm = jax.jit(lambda x, y: (x @ y))
     t_mm = timed(mm, a, b)
     tflops = 2 * 4096**3 / (t_mm * 1e-3) / 1e12
-    big = jnp.ones((64, 1024, 1024, 4), jnp.float32)  # 1 GiB
+    # lane-aligned last dim (multiple of 128): unaligned shapes are
+    # physically padded to 128 lanes on TPU (f32[...,4] would occupy 32x)
+    big = jnp.ones((64, 1024, 32, 128), jnp.float32)  # 1 GiB
     cp = jax.jit(lambda x: x * 1.0000001)
     t_cp = timed(cp, big)
     gbs = 2 * big.size * 4 / (t_cp * 1e-3) / 1e9  # read + write

@@ -14,16 +14,18 @@ set -euo pipefail
 W=${W:-ckpt_r5}
 mkdir -p "$W"
 
-# A. Texture-discrimination fine-tune from the round-4 joint params:
-#    the reconstruction loss stays (all five levels), plus
-#    λ=0.01 · symmetric InfoNCE over per-level Gram vectors of two
-#    random 128px crops per pooled image (relu2_1/relu3_1/relu4_1,
-#    τ=0.2): same image's crops are positives, other images negatives.
-#    Pilot (400 steps): tex acc 0.60→0.85, recon held, ~12% step cost.
+# A. Texture-discrimination fine-tune from the shipped round-4 bundle
+#    (weights/bundle.npz — the RMS normalisation is function-preserving,
+#    so this IS the r4 trained function; ckpt_r4/joint_params.npz is not
+#    persisted across snapshots). The reconstruction loss stays (all
+#    five levels), plus λ=0.01 · symmetric InfoNCE over per-level Gram
+#    vectors of two random 128px crops per pooled image
+#    (relu2_1/relu3_1/relu4_1, τ=0.2): same image's crops are
+#    positives, other images negatives.
 python -u scripts/train_encoder.py --out-dir "$W" \
   --pool-file ckpt_r4/pool_16384_256.npy --pool 16384 --size 256 \
-  --batch 16 --steps 8000 --lr 5e-5 --eval-every 500 --save-every 1000 \
-  --texture-weight 0.01 --resume ckpt_r4/joint_params.npz
+  --batch 16 --steps 6000 --lr 5e-5 --eval-every 500 --save-every 1000 \
+  --texture-weight 0.01 --init weights/bundle.npz
 
 # B. Shallow recovery (VERDICT r4 item 5): freeze conv2_1+ and every
 #    deep decoder (optax.set_to_zero, not lr-damping), train ONLY
