@@ -47,14 +47,37 @@ from wct_tpu.utils.profiling import device_sync  # noqa: E402
 log = lambda *a: print(*a, flush=True)
 
 
-def timed(fn, *args, n=5, warmup=2):
+def timed(fn, *args, n=3, warmup=2):
+    """ms per call, tunnel-RTT-free.
+
+    A single enqueue+sync pays the ~27 ms tunnel RTT (DESIGN §3
+    methodology), which swamps millisecond ops — a naive per-call sync
+    measured this chip at "4.4 TFLOP/s". Instead enqueue k then 2k
+    calls, sync once each; (t_2k - t_k) / k cancels the constant
+    dispatch+RTT term exactly (the TPU executes enqueued calls in
+    order). k adapts so the differenced compute span is well above
+    RTT noise for sub-ms ops without making 400 ms ops take minutes.
+    """
+    t_est = 0.0
     for _ in range(warmup):
-        device_sync(fn(*args))
-    ts = []
-    for _ in range(n):
         t0 = time.perf_counter()
         device_sync(fn(*args))
-        ts.append(time.perf_counter() - t0)
+        t_est = time.perf_counter() - t0
+    k = max(4, min(64, int(0.4 / max(t_est - 0.025, 0.002))))
+
+    def run(m):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(m):
+            out = fn(*args)
+        device_sync(out)
+        return time.perf_counter() - t0
+
+    ts = []
+    for _ in range(n):
+        t1 = run(k)
+        t2 = run(2 * k)
+        ts.append((t2 - t1) / k)
     return 1e3 * float(np.median(ts))
 
 
@@ -116,15 +139,27 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--skip-e2e", action="store_true")
+    ap.add_argument("--analytic", action="store_true",
+                    help="no TPU: analytic ideal-ms table only, using "
+                    "--tflops/--gbs peaks measured in a prior session")
+    ap.add_argument("--tflops", type=float, default=189.8,
+                    help="measured bf16 matmul peak (RTT-free, 2026-08-20)")
+    ap.add_argument("--gbs", type=float, default=657.0,
+                    help="measured HBM copy bandwidth (RTT-free)")
     args = ap.parse_args(argv)
     B, S = args.batch, args.size
 
     from wct_tpu.cli.common import enable_compile_cache
 
     enable_compile_cache()
-    log("device:", jax.devices()[0])
-    tflops, gbs = measure_peaks()
-    log(f"measured peaks: {tflops:.1f} bf16-TFLOP/s, {gbs:.0f} GB/s HBM")
+    if args.analytic:
+        tflops, gbs = args.tflops, args.gbs
+        log(f"analytic mode: peaks {tflops:.1f} bf16-TFLOP/s, "
+            f"{gbs:.0f} GB/s HBM (prior measured)")
+    else:
+        log("device:", jax.devices()[0])
+        tflops, gbs = measure_peaks()
+        log(f"measured peaks: {tflops:.1f} bf16-TFLOP/s, {gbs:.0f} GB/s HBM")
 
     # decoder_layers spec sanity (kind, name, ci, co[, k])
     probe = dec_lib.decoder_layers("relu2_1")
@@ -135,14 +170,25 @@ def main(argv=None) -> int:
                                     ideal=0.0, measured=0.0))
     measured_cache: dict = {}
 
+    # Device-side data generation: multi-GB host->device transfers ride
+    # the tunnel at ~30 MB/s (DESIGN §3) — a [8,1024,1024,64] f32 probe
+    # would cost minutes of pure H2D before the first measurement.
+    dev_key = jax.random.PRNGKey(0)
+
+    def dev_normal(shape, dtype, scale=1.0, absval=False):
+        nonlocal dev_key
+        dev_key, sub = jax.random.split(dev_key)
+        x = jax.random.normal(sub, shape, jnp.float32) * scale
+        if absval:
+            x = jnp.abs(x)
+        return jax.block_until_ready(x.astype(dtype))
+
     def measure_conv(h, ci, co, k):
         key = ("conv", h, ci, co, k)
         if key not in measured_cache:
-            x = jax.device_put(jnp.asarray(
-                rng.standard_normal((B, h, h, ci)), jnp.bfloat16))
-            w = jax.device_put(jnp.asarray(
-                rng.standard_normal((k, k, ci, co)) * 0.05, jnp.float32))
-            bb = jax.device_put(jnp.zeros((co,), jnp.float32))
+            x = dev_normal((B, h, h, ci), jnp.bfloat16)
+            w = dev_normal((k, k, ci, co), jnp.float32, scale=0.05)
+            bb = jnp.zeros((co,), jnp.float32)
             fn = jax.jit(lambda x_: convs.conv2d_reflect(x_, w, bb))
             measured_cache[key] = timed(fn, x)
         return measured_cache[key]
@@ -150,16 +196,14 @@ def main(argv=None) -> int:
     def measure_pool(h, c):
         key = ("pool", h, c)
         if key not in measured_cache:
-            x = jax.device_put(jnp.asarray(
-                rng.standard_normal((B, h, h, c)), jnp.bfloat16))
+            x = dev_normal((B, h, h, c), jnp.bfloat16)
             measured_cache[key] = timed(jax.jit(convs.maxpool2), x)
         return measured_cache[key]
 
     def measure_up(h, c):
         key = ("up", h, c)
         if key not in measured_cache:
-            x = jax.device_put(jnp.asarray(
-                rng.standard_normal((B, h, h, c)), jnp.bfloat16))
+            x = dev_normal((B, h, h, c), jnp.bfloat16)
             measured_cache[key] = timed(jax.jit(convs.upsample_nearest2), x)
         return measured_cache[key]
 
@@ -169,10 +213,8 @@ def main(argv=None) -> int:
             h = h_of(lvl, S)
             c = {"relu1_1": 64, "relu2_1": 128, "relu3_1": 256,
                  "relu4_1": 512, "relu5_1": 512}[lvl]
-            fc = jax.device_put(jnp.asarray(
-                np.abs(rng.standard_normal((B, h, h, c))), jnp.float32))
-            fs = jax.device_put(jnp.asarray(
-                np.abs(rng.standard_normal((h, h, c))), jnp.float32))
+            fc = dev_normal((B, h, h, c), jnp.float32, absval=True)
+            fs = dev_normal((h, h, c), jnp.float32, absval=True)
             stats = wct_ops.style_stats(fs, method="newton_schulz_fast")
 
             @jax.jit
@@ -193,21 +235,21 @@ def main(argv=None) -> int:
             flops = 2.0 * B * h * h * ci * co * k * k
             byts = B * h * h * (ci + co) * 2.0
             ideal = max(flops / (tflops * 1e12), byts / (gbs * 1e9)) * 1e3
-            meas = measure_conv(h, ci, co, k)
+            meas = 0.0 if args.analytic else measure_conv(h, ci, co, k)
             cls = f"conv {h:>4}px {ci:>3}->{co:<3}"
         elif kind == "pool":
             c = chan_at.get(h, 512)
             flops = 0.0
             byts = B * h * h * c * 2.0 * 1.25
             ideal = byts / (gbs * 1e9) * 1e3
-            meas = measure_pool(h, c)
+            meas = 0.0 if args.analytic else measure_pool(h, c)
             cls = f"pool {h:>4}px {c}ch"
         elif kind == "upsample":
             c = chan_at.get(h * 2, 512)
             flops = 0.0
             byts = B * h * h * c * 2.0 * 5.0  # read + 4x write
             ideal = byts / (gbs * 1e9) * 1e3
-            meas = measure_up(h, c)
+            meas = 0.0 if args.analytic else measure_up(h, c)
             cls = f"upsv {h:>4}px {c}ch"
         else:  # wct
             c = {"relu1_1": 64, "relu2_1": 128, "relu3_1": 256,
@@ -217,7 +259,7 @@ def main(argv=None) -> int:
             flops = B * (2.0 * hw * c * c + 2 * 2.0 * hw * c * c)
             byts = B * hw * c * 4.0 * 3
             ideal = max(flops / (tflops * 1e12), byts / (gbs * 1e9)) * 1e3
-            meas = measure_wct(name)
+            meas = 0.0 if args.analytic else measure_wct(name)
             cls = f"wct  {name}"
         r = rows[cls]
         r["count"] += 1
@@ -241,10 +283,11 @@ def main(argv=None) -> int:
         tot_b += r["bytes"]
     log(f"{'TOTAL':<26} {'':>2} {tot_f/1e9:>8.1f} {tot_b/1e9:>6.2f} "
         f"{tot_i:>9.2f} {tot_m:>8.2f} {tot_m/max(tot_i,1e-9):>5.1f}")
-    log(f"speed-of-light fps at ideal: {B / (tot_i * 1e-3):.1f}  "
-        f"(isolated-op sum fps: {B / (tot_m * 1e-3):.1f})")
+    log(f"speed-of-light fps at ideal: {B / (tot_i * 1e-3):.1f}" + (
+        "" if args.analytic else
+        f"  (isolated-op sum fps: {B / (tot_m * 1e-3):.1f})"))
 
-    if not args.skip_e2e:
+    if not args.skip_e2e and not args.analytic:
         from wct_tpu.train import checkpoint
 
         params = checkpoint.load_pytree(REPO / "weights" / "bundle.npz")

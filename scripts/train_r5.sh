@@ -51,5 +51,25 @@ python -u scripts/eval_style_quality.py "$W/bundle_r5.npz" weights/bundle.npz \
   --out "$W/style_quality_r5.json"
 python -u scripts/make_sample_grid.py --bundle "$W/bundle_r5.npz" \
   --out "$W/samples/grid_r5.png"
+# Ship gate: r5 must beat r4 on the fixed protocol's headline scores
+# (lower = closer to the style's texture statistics). Exits non-zero
+# otherwise, leaving weights/bundle.npz (r4) in place.
+python - "$W/style_quality_r5.json" <<'EOF'
+import json, sys
+r = json.load(open(sys.argv[1]))
+(p5, b5), (p4, b4) = list(r["bundles"].items())[:2]
+fixed = ("pixel_spectrum", "pixel_color", "pixel_contrast",
+         "pixel_pixel_agg", "frozen_gram_rel", "frozen_meanstd_rel")
+wins = total = 0
+for a in r["alphas"]:
+    m5, m4 = b5[f"mean_a{a:g}"], b4[f"mean_a{a:g}"]
+    for k in fixed:
+        total += 1
+        wins += m5[k] <= m4[k]
+        print(f"a{a:g} {k}: r5={m5[k]:.4f} r4={m4[k]:.4f} "
+              f"{'WIN' if m5[k] <= m4[k] else 'lose'}")
+print(f"r5 ({p5}) wins {wins}/{total} fixed-protocol comparisons vs {p4}")
+sys.exit(0 if wins * 2 >= total else 1)
+EOF
 cp "$W/bundle_r5.npz" weights/bundle.npz
 python -u scripts/calibrate_trained_gates.py --size 160
