@@ -24,7 +24,7 @@ mkdir -p "$W"
 #    positives, other images negatives.
 python -u scripts/train_encoder.py --out-dir "$W" \
   --pool-file ckpt_r4/pool_16384_256.npy --pool 16384 --size 256 \
-  --batch 16 --steps 6000 --lr 5e-5 --eval-every 500 --save-every 1000 \
+  --batch 16 --steps 3000 --lr 5e-5 --eval-every 1000 --save-every 1000 \
   --texture-weight 0.01 --init weights/bundle.npz
 
 # B. Shallow recovery (VERDICT r4 item 5): freeze conv2_1+ and every
@@ -35,7 +35,7 @@ python -u scripts/train_encoder.py --out-dir "$W" \
 #    features.
 python -u scripts/train_encoder.py --out-dir "$W/shallow" \
   --pool-file ckpt_r4/pool_16384_256.npy --pool 16384 --size 256 \
-  --batch 16 --steps 2000 --lr 1e-4 --eval-every 500 --save-every 1000 \
+  --batch 16 --steps 1500 --lr 1e-4 --eval-every 750 --save-every 750 \
   --shallow-recover --resume "$W/joint_params.npz"
 
 # C. Finalize: closed-form ridge re-solve of the shallow mirrors,
